@@ -1,0 +1,86 @@
+"""Vectorized parse stage: one Arrow-batched UDF per document format.
+
+The reference re-opens/re-parses the document for every assertion
+(e.g. xlsx re-open per cell access, src/document/xlsx.rs:25-45; regex
+recompile per eval, assertions.rs:1643-1644). Here the parse is hoisted
+into a single UDF stage executed once per document; every assertion after
+that is a JVM-side Catalyst expression over the ``parsed`` struct — a
+genuine improvement enabled by the columnar model (SURVEY.md §4).
+
+UDFs are created lazily (first use) so importing this package never
+requires an active SparkSession.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .html_parser import extract_text, parse_html
+from .markdown import normalize_markdown, parse_markdown
+from .schema import PARSED_TYPE
+
+__all__ = [
+    "PARSED_TYPE",
+    "parse_html",
+    "parse_markdown",
+    "extract_text",
+    "normalize_markdown",
+    "parse_html_col",
+    "parse_markdown_col",
+    "extract_text_col",
+]
+
+
+def _to_str(h) -> str:
+    if h is None:
+        return ""
+    if isinstance(h, str):
+        return h
+    return bytes(h).decode("utf-8", "replace")
+
+
+@lru_cache(maxsize=1)
+def _parse_html_udf():
+    @F.pandas_udf(PARSED_TYPE)
+    def udf(html: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame([parse_html(_to_str(h)) for h in html])
+
+    return udf
+
+
+@lru_cache(maxsize=1)
+def _parse_markdown_udf():
+    @F.pandas_udf(PARSED_TYPE)
+    def udf(md: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame([parse_markdown(_to_str(m)) for m in md])
+
+    return udf
+
+
+@lru_cache(maxsize=1)
+def _extract_text_udf():
+    @F.pandas_udf(T.StringType())
+    def udf(html: pd.Series) -> pd.Series:
+        return pd.Series([extract_text(_to_str(h)) for h in html], dtype="object")
+
+    return udf
+
+
+def parse_html_col(html: Column) -> Column:
+    """html (binary or string) -> parsed struct (schema.PARSED_TYPE)."""
+    return _parse_html_udf()(html)
+
+
+def parse_markdown_col(md: Column) -> Column:
+    return _parse_markdown_udf()(md)
+
+
+def extract_text_col(html: Column) -> Column:
+    """html -> byte-stable normalized text (the per-url invariant surface)."""
+    return _extract_text_udf()(html)

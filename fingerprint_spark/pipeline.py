@@ -1,0 +1,219 @@
+"""The quality-filter pipeline — the flagship chain of BASELINE.json.
+
+    template/boilerplate match (fingerprint capability)
+      -> language ID
+      -> n-gram perplexity
+      -> Gopher/C4 heuristic rules
+      -> regex PII/toxicity scrub
+      => one keep/drop verdict + scrubbed text per url
+
+Execution shape (the 100 TB design):
+
+- ONE vectorized parse UDF per document (the only expensive Python), then
+  pure Column expressions — the whole chain is narrow transformations, so
+  the plan is scan -> project -> write with ZERO shuffles. Throughput
+  scales linearly with executors because no stage exchanges data.
+- Template rules compile at the driver and ride the Catalyst plan as
+  literals (broadcast versioned lookup structures). Re-validation against
+  a new template version is an incremental pass over the same parsed
+  struct — only the match fold changes.
+- ``repartition_by_url`` (xxhash64 + optional salt) is applied only when a
+  downstream stage actually shuffles (dedup, label-join), never for the
+  map-only chain itself.
+
+Reference analog: the run-mode lifecycle of src/lib.rs:739-834 —
+read -> enrich (rules) -> outcome fold -> ordered emit. Ordering is
+replaced by keying on url (SURVEY §1.7).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dsl.model import FingerprintDefinition
+from .dsl.registry import Registry, builtin_rules
+from .functions.langid import UNKNOWN_LANG, langid_best
+from .functions.perplexity import (
+    DEFAULT_PPL_THRESHOLD,
+    NGramModel,
+    perplexity_col,
+    train_char_ngram,
+)
+from .functions.scrub import scrub_counts, scrub_text
+from .functions.textstats import gopher_quality_flags, text_stats
+from .operators.match import apply_match
+from .parse import parse_html_col
+
+HEURISTIC_FLAGS = [
+    "words_in_range", "mean_word_len_in_range", "symbol_ratio_ok",
+    "ellipsis_ok", "bullet_ok", "alpha_ok", "stopwords_ok", "dup_lines_ok",
+]
+
+
+@lru_cache(maxsize=1)
+def default_ppl_model() -> NGramModel:
+    """Deterministic in-domain char-3gram model trained on the engine's
+    embedded English vocabulary (no external data)."""
+    from .corpus import VOCAB
+
+    words = VOCAB["en"]
+    # deterministic pseudo-sentences: rotate the vocab list
+    texts = [
+        " ".join(words[(7 * i + j) % len(words)] for j in range(12)) + "."
+        for i in range(300)
+    ]
+    return train_char_ngram(texts, order=3)
+
+
+def repartition_by_url(
+    df: DataFrame, num_partitions: int, salt_buckets: int = 0
+) -> DataFrame:
+    """Explicit repartition on xxhash64(url); optional salting for skewed
+    hosts (north_rule). Use before shuffle-bearing stages only."""
+    if salt_buckets > 1:
+        salt = F.pmod(F.xxhash64(F.col("url"), F.lit("salt")), F.lit(salt_buckets))
+        return df.withColumn("_salt", salt).repartition(
+            num_partitions, F.xxhash64("url"), F.col("_salt")
+        ).drop("_salt")
+    return df.repartition(num_partitions, F.xxhash64("url"))
+
+
+def _verdict(
+    template: Column,
+    lang_best: Column,
+    ppl: Column,
+    flags: Column,
+    target_lang: str,
+    ppl_threshold: float,
+) -> tuple[Column, Column]:
+    """keep boolean + first-failing-stage drop_reason (the stage-order
+    analog of assertion declaration-order short-circuit)."""
+    heur_fail = F.coalesce(
+        *[F.when(~flags[n], F.lit(n)) for n in HEURISTIC_FLAGS],
+        F.lit(None).cast("string"),
+    )
+    reason = (
+        F.when(
+            template["matched"],
+            F.concat(F.lit("template:"), template["fingerprint_id"]),
+        )
+        .when(
+            lang_best["lang"] != target_lang,
+            F.concat(F.lit("langid:"), lang_best["lang"]),
+        )
+        .when(ppl > ppl_threshold, F.lit("perplexity"))
+        .when(heur_fail.isNotNull(), F.concat(F.lit("heuristic:"), heur_fail))
+    )
+    return reason.isNull(), reason
+
+
+def quality_filter(
+    df: DataFrame,
+    rules: list[FingerprintDefinition] | None = None,
+    ppl_model: NGramModel | None = None,
+    target_lang: str = "en",
+    ppl_threshold: float = DEFAULT_PPL_THRESHOLD,
+    html_col: str = "html",
+) -> DataFrame:
+    """Full chain over the input_hint table (url, warc_ts, html, text, lang).
+
+    Returns the input columns plus: extracted_text, fingerprint (match
+    struct), children, child_routing, lang_detected, lang_score, ppl,
+    stats, flags, scrub (counters), scrubbed_text, keep, drop_reason.
+    """
+    if rules is None:
+        rules = builtin_rules()
+    # constant-fold the format gate at the driver: only html rules can
+    # match an html corpus (enricher.rs:455-468 done at compile time)
+    rules = [r for r in rules if r.format == "html"]
+
+    # stage 0: parse once (the only Python; Arrow-batched)
+    df = df.withColumn("parsed", parse_html_col(F.col(html_col)))
+    df = df.withColumn("extracted_text", F.col("parsed.normalized"))
+
+    # stage 1: template match (broadcast fold, enricher.rs:201-268 analog)
+    env = {
+        "url": F.col("url"),
+        "ts": F.col("warc_ts"),
+        "parsed": F.col("parsed"),
+    }
+    df = apply_match(df, rules, env, result_col="fingerprint")
+
+    # stage 2: language ID (pure Column exprs)
+    df = df.withColumn("_lid", langid_best(F.col("extracted_text")))
+    df = df.withColumn("lang_detected", F.col("_lid.lang")).withColumn(
+        "lang_score", F.col("_lid.score")
+    ).drop("_lid")
+
+    # stage 3: perplexity (broadcast n-gram model, Arrow-batched)
+    df = df.withColumn(
+        "ppl", perplexity_col(F.col("extracted_text"), ppl_model or default_ppl_model())
+    )
+
+    # stage 4: heuristics (pure Column exprs)
+    df = df.withColumn("stats", text_stats(F.col("extracted_text")))
+    df = df.withColumn("flags", gopher_quality_flags(F.col("stats")))
+
+    # stage 5: scrub (regexp_replace chain + counters)
+    df = df.withColumn("scrub", scrub_counts(F.col("extracted_text")))
+    df = df.withColumn("scrubbed_text", scrub_text(F.col("extracted_text")))
+
+    # verdict
+    keep, reason = _verdict(
+        F.col("fingerprint"),
+        F.struct(F.col("lang_detected").alias("lang"), F.col("lang_score").alias("score")),
+        F.col("ppl"),
+        F.col("flags"),
+        target_lang,
+        ppl_threshold,
+    )
+    df = df.withColumn("keep", keep).withColumn("drop_reason", reason)
+    return df
+
+
+def quality_filter_text(
+    df: DataFrame,
+    text_col: str = "text",
+    url_col: str = "url",
+    target_lang: str = "en",
+    ppl_threshold: float = DEFAULT_PPL_THRESHOLD,
+    with_ppl: bool = False,
+) -> DataFrame:
+    """Text-only variant (no html parse): langid -> heuristics -> scrub.
+
+    Every stage here is a pure Column expression with an exact ANSI-SQL
+    analog — this is the oracle-checkable surface used by the driver's
+    DuckDB comparison. ``with_ppl`` adds the (non-SQL) perplexity stage.
+    """
+    text = F.col(text_col)
+    df = df.withColumn("_lid", langid_best(text))
+    df = (
+        df.withColumn("lang_detected", F.col("_lid.lang"))
+        .withColumn("lang_score", F.col("_lid.score"))
+        .drop("_lid")
+    )
+    df = df.withColumn("stats", text_stats(text))
+    df = df.withColumn("flags", gopher_quality_flags(F.col("stats")))
+    df = df.withColumn("scrub", scrub_counts(text))
+    df = df.withColumn("scrubbed_text", scrub_text(text))
+    if with_ppl:
+        df = df.withColumn("ppl", perplexity_col(text, default_ppl_model()))
+    heur_fail = F.coalesce(
+        *[F.when(~F.col("flags")[n], F.lit(n)) for n in HEURISTIC_FLAGS],
+        F.lit(None).cast("string"),
+    )
+    reason = F.when(
+        F.col("lang_detected") != target_lang,
+        F.concat(F.lit("langid:"), F.col("lang_detected")),
+    ).when(heur_fail.isNotNull(), F.concat(F.lit("heuristic:"), heur_fail))
+    if with_ppl:
+        reason = F.when(
+            F.col("lang_detected") != target_lang,
+            F.concat(F.lit("langid:"), F.col("lang_detected")),
+        ).when(F.col("ppl") > ppl_threshold, F.lit("perplexity")).when(
+            heur_fail.isNotNull(), F.concat(F.lit("heuristic:"), heur_fail)
+        )
+    return df.withColumn("keep", reason.isNull()).withColumn("drop_reason", reason)

@@ -1,38 +1,87 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark):   flagship query (full quality-filter chain) on sf0.001.
+queries():      operator-level queries from SURVEY.md §2 (+ training-data
+                ops); each callable takes (spark, sf_dir) -> DataFrame.
+oracle_sql():   DuckDB-equivalent ANSI SQL per oracle-checked query.
+
+The package ships to executors via addPyFile (the spark-submit
+--py-files pattern of the north_rule): UDF closures reference
+``fingerprint_spark``, which must be importable inside Python workers
+regardless of the driver's cwd.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
+_PYFILES_ZIP = "/tmp/fingerprint_spark_pyfiles.zip"
+
+
+def _build_pyfiles_zip() -> str:
+    """Zip the package for worker-side import (idempotent, mtime-gated)."""
+    pkg = os.path.join(_REPO, "fingerprint_spark")
+    sources = []
+    for root, _dirs, files in os.walk(pkg):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                sources.append(os.path.join(root, f))
+    newest = max(os.path.getmtime(s) for s in sources)
+    if (
+        not os.path.exists(_PYFILES_ZIP)
+        or os.path.getmtime(_PYFILES_ZIP) < newest
+    ):
+        tmp = _PYFILES_ZIP + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for s in sources:
+                z.write(s, os.path.relpath(s, _REPO))
+        os.replace(tmp, _PYFILES_ZIP)
+    return _PYFILES_ZIP
+
+
+def ensure_pyfiles(spark: SparkSession) -> None:
+    """addPyFile once per SparkContext (spark-submit --py-files analog)."""
+    sc = spark.sparkContext
+    if not getattr(sc, "_fingerprint_spark_pyfiles", False):
+        sc.addPyFile(_build_pyfiles_zip())
+        sc._fingerprint_spark_pyfiles = True
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: documents -> input_hint shape -> full pipeline (parse UDF
+    -> broadcast template fold -> langid -> perplexity -> heuristics ->
+    scrub -> verdict) on /root/testdata/sf0.001."""
+    ensure_pyfiles(spark)
+    from fingerprint_spark.entry_queries import q_html_pipeline
+
+    return q_html_pipeline(spark, "/root/testdata/sf0.001")
+
+
+def _wrap(fn: Callable) -> Callable:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_pyfiles(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from fingerprint_spark.entry_queries import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: _wrap(fn) for name, fn in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from fingerprint_spark.entry_queries import all_oracle_sql
+
+    return all_oracle_sql()

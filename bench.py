@@ -1,0 +1,155 @@
+#!/usr/bin/env python3
+"""Benchmark harness — driver contract.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": seconds, "unit": "sec",
+"queries": {name: sec}, "sf": ..., "docs_per_sec": ..., ...}.
+
+Materialization uses the noop sink (full computation, no write cost, no
+count()-induced column pruning).
+
+Scaling evidence (north_rule: efficiency >= 0.8 from N to 4N):
+    python bench.py --scaling
+spawns two subprocess runs of the flagship at local[8] and local[32] and
+reports throughput at both plus efficiency = (t8/t32)/4.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "html_pipeline",      # full chain incl. parse UDF (the flagship)
+    "pipeline_keep",      # pure-Column text chain
+    "exact_dedup",
+    "sketches",           # simhash + minhash UDFs
+    "embedding_topk",
+    "langid",
+    "gopher_flags",
+    "cell_type_majority",
+    "events_hourly",
+]
+
+
+def _materialize(df) -> int:
+    df.write.mode("overwrite").format("noop").save()
+    return -1
+
+
+def run_bench(cores: str, sf_dir: str, names: list[str]) -> dict:
+    from fingerprint_spark.entry_queries import all_queries
+    from fingerprint_spark.session import get_spark
+
+    spark = get_spark("fingerprint_spark_bench", cores=cores)
+    queries = all_queries()
+    unknown = [n for n in names if n not in queries]
+    if unknown:
+        sys.exit(f"error: unknown queries {unknown}; known: {sorted(queries)}")
+    # warm-up: JVM codegen + Python worker pool + Arrow path (worker spawn
+    # is a one-time cluster cost, not per-query work — keep it out of the
+    # measured window)
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.LongType())
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(0, 10000, 1, int(cores) if str(cores).isdigit() else 32).select(
+        _warm("id")
+    ).write.mode("overwrite").format("noop").save()
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    # criterion-style: one untimed warm-up execution per query (JIT +
+    # worker pool), then the measured run — mirrors the reference's
+    # criterion warmup=3s methodology (docs/BENCHMARK_BASELINE.md)
+    # min-of-2 measured runs: the sandbox host carries background load, so
+    # a single sample can be 5-10x off; min is the least-noisy estimator
+    timings: dict[str, float] = {}
+    for name in names:
+        _materialize(queries[name](spark, sf_dir))
+        best = float("inf")
+        for _ in range(2):
+            df = queries[name](spark, sf_dir)
+            t0 = time.perf_counter()
+            _materialize(df)
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    flagship = timings.get("html_pipeline")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    return {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_docs": n_docs,
+        "docs_per_sec_flagship": round(n_docs / flagship, 1) if flagship else None,
+        "cores": cores,
+    }
+
+
+def run_scaling(sf_dir: str, n_small: int = 8, n_large: int = 32) -> dict:
+    """Same flagship job at local[N] and local[4N] in fresh JVMs."""
+    out = {}
+    for cores in (n_small, n_large):
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cores", str(cores),
+             "--sf-dir", sf_dir, "--queries", "html_pipeline"],
+            capture_output=True, text=True, check=True,
+        )
+        line = [ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")][-1]
+        out[cores] = json.loads(line)
+    t_small = out[n_small]["queries"]["html_pipeline"]
+    t_large = out[n_large]["queries"]["html_pipeline"]
+    speedup = t_small / t_large
+    eff = speedup / (n_large / n_small)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cores_small": n_small,
+        "cores_large": n_large,
+        "sec_small": t_small,
+        "sec_large": t_large,
+        "docs_per_sec_small": out[n_small]["docs_per_sec_flagship"],
+        "docs_per_sec_large": out[n_large]["docs_per_sec_flagship"],
+        "speedup": round(speedup, 3),
+        "sf": out[n_large]["sf"],
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--queries", default=None,
+                    help="comma-separated subset of headline queries")
+    ap.add_argument("--scaling", action="store_true",
+                    help="run the N vs 4N scaling measurement")
+    args = ap.parse_args()
+
+    if args.scaling:
+        print(json.dumps(run_scaling(args.sf_dir)))
+        return
+    names = args.queries.split(",") if args.queries else HEADLINE
+    print(json.dumps(run_bench(str(args.cores), args.sf_dir, names)))
+
+
+if __name__ == "__main__":
+    main()

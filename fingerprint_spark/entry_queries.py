@@ -1,0 +1,560 @@
+"""Driver-contract queries: Spark implementations + DuckDB oracle SQL.
+
+Each query exists twice — as a DataFrame program (the engine under test)
+and as ANSI SQL for DuckDB (the oracle). Both sides are generated from the
+SAME module constants (marker lists, thresholds, regexes) so the pair can
+only diverge through engine semantics, which is exactly what the driver's
+row-count + schema + value-hash comparison is meant to catch.
+
+Output discipline (driver hashes values after sorting columns by name):
+- only strings / bigints / exact decimals in oracle-checked outputs;
+- every computed column aliased identically on both sides;
+- floats only when rounded, and only where a knife-edge tie is impossible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from .functions.langid import (
+    LANGS,
+    MIN_SCORE,
+    TOKEN_SPLIT_RE,
+    langid_best,
+    sql_lang_score,
+)
+from .functions.scrub import PII_PATTERNS, scrub_counts, scrub_text
+from .functions.textstats import (
+    MAX_BULLET_LINE_FRAC,
+    MAX_DUP_LINE_FRAC,
+    MAX_ELLIPSIS_LINE_FRAC,
+    MAX_MEAN_WORD_LEN,
+    MAX_SYMBOL_WORD_RATIO,
+    MAX_WORDS,
+    MIN_ALPHA_WORD_FRAC,
+    MIN_MEAN_WORD_LEN,
+    MIN_STOPWORD_HITS,
+    MIN_WORDS,
+    gopher_quality_flags,
+    oracle_stats_sql,
+    text_stats,
+)
+from .operators.assertions import (
+    _CURRENCY_RE,
+    _DATE_RE,
+    _NUMBER_RE,
+    _PCT_RE,
+)
+
+FLAG_NAMES = [
+    "words_in_range", "mean_word_len_in_range", "symbol_ratio_ok",
+    "ellipsis_ok", "bullet_ok", "alpha_ok", "stopwords_ok", "dup_lines_ok",
+]
+
+
+def _doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB)
+# ---------------------------------------------------------------------------
+
+_SQL_TOKS = (
+    "list_filter(string_split_regex(lower(trim(text)), "
+    f"'{TOKEN_SPLIT_RE}'), t -> t <> '')"
+)
+_SQL_WORDS = "list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')"
+_SQL_LINES = "string_split(text, chr(10))"
+
+
+def _sql_lang_scores() -> str:
+    """CTE body computing per-language marker fractions."""
+    return (
+        "SELECT doc_id, "
+        + ", ".join(
+            f"{sql_lang_score(lang)} AS s_{lang}" for lang in LANGS
+        )
+        + " FROM documents"
+    )
+
+
+def _sql_lang_case() -> str:
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in LANGS) + ")"
+    whens = " ".join(
+        f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in LANGS
+    )
+    return f"CASE WHEN {best} < {MIN_SCORE} THEN 'und' {whens} END"
+
+
+def _sql_stats_cte() -> str:
+    """Per-doc statistics CTE matching functions.textstats.text_stats."""
+    frags = oracle_stats_sql("text")
+    cols = ", ".join(f"{expr} AS {name}" for name, expr in frags.items())
+    return f"SELECT doc_id, text, {cols} FROM documents"
+
+
+_SQL_FLAG_EXPRS = {
+    "words_in_range": f"(n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS})",
+    "mean_word_len_in_range": f"(mean_word_len BETWEEN {MIN_MEAN_WORD_LEN} AND {MAX_MEAN_WORD_LEN})",
+    "symbol_ratio_ok": f"(symbol_word_ratio <= {MAX_SYMBOL_WORD_RATIO})",
+    "ellipsis_ok": f"(ellipsis_line_frac <= {MAX_ELLIPSIS_LINE_FRAC})",
+    "bullet_ok": f"(bullet_line_frac <= {MAX_BULLET_LINE_FRAC})",
+    "alpha_ok": f"(alpha_word_frac >= {MIN_ALPHA_WORD_FRAC})",
+    "stopwords_ok": f"(stopword_hits >= {MIN_STOPWORD_HITS})",
+    "dup_lines_ok": f"(dup_line_frac <= {MAX_DUP_LINE_FRAC})",
+}
+
+
+# ---------------------------------------------------------------------------
+# oracle-checked queries
+# ---------------------------------------------------------------------------
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID stage (SURVEY §7 step 6; langid_best Column exprs)."""
+    df = _doc(spark, sf_dir)
+    return df.select(
+        "doc_id", langid_best(F.col("text"))["lang"].alias("lang_detected")
+    )
+
+
+def sql_langid() -> str:
+    return (
+        f"WITH s AS ({_sql_lang_scores()}) "
+        f"SELECT doc_id, {_sql_lang_case()} AS lang_detected FROM s"
+    )
+
+
+def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = q_langid(spark, sf_dir)
+    return df.groupBy("lang_detected").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+
+
+def sql_lang_distribution() -> str:
+    return (
+        f"WITH s AS ({_sql_lang_scores()}), "
+        f"l AS (SELECT doc_id, {_sql_lang_case()} AS lang_detected FROM s) "
+        "SELECT lang_detected, count(*)::bigint AS n_docs FROM l GROUP BY 1"
+    )
+
+
+def q_gopher_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _doc(spark, sf_dir)
+    s = text_stats(F.col("text"))
+    return df.select(
+        "doc_id",
+        s["n_words"].cast("bigint").alias("n_words"),
+        s["n_lines"].cast("bigint").alias("n_lines"),
+        s["stopword_hits"].cast("bigint").alias("stopword_hits"),
+    )
+
+
+def sql_gopher_stats() -> str:
+    return (
+        f"WITH s AS ({_sql_stats_cte()}) "
+        "SELECT doc_id, n_words::bigint AS n_words, n_lines::bigint AS n_lines, "
+        "stopword_hits::bigint AS stopword_hits FROM s"
+    )
+
+
+def q_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _doc(spark, sf_dir)
+    df = df.withColumn("stats", text_stats(F.col("text")))
+    flags = gopher_quality_flags(F.col("stats"))
+    return df.select(
+        "doc_id",
+        *[flags[n].cast("int").alias(n) for n in FLAG_NAMES],
+    )
+
+
+def sql_gopher_flags() -> str:
+    cols = ", ".join(
+        f"{expr}::int AS {name}" for name, expr in _SQL_FLAG_EXPRS.items()
+    )
+    return f"WITH s AS ({_sql_stats_cte()}) SELECT doc_id, {cols} FROM s"
+
+
+def q_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-checkable flagship: full text-variant verdict per doc
+    (langid -> heuristics; ppl stage excluded because a broadcast n-gram
+    model is not SQL-expressible — covered by rows-only query + pytest)."""
+    from .pipeline import quality_filter_text
+
+    df = _doc(spark, sf_dir).withColumnRenamed("doc_id", "url")
+    out = quality_filter_text(df, text_col="text", url_col="url")
+    return out.select(
+        F.col("url").alias("doc_id"),
+        F.col("keep").cast("int").alias("keep"),
+        F.coalesce(F.col("drop_reason"), F.lit("")).alias("drop_reason"),
+    )
+
+
+def sql_pipeline_keep() -> str:
+    heur = " ".join(
+        f"WHEN NOT {_SQL_FLAG_EXPRS[n]} THEN 'heuristic:{n}'" for n in FLAG_NAMES
+    )
+    return f"""
+WITH stats AS ({_sql_stats_cte()}),
+langs AS ({_sql_lang_scores()}),
+l AS (SELECT doc_id, {_sql_lang_case()} AS lang_detected FROM langs),
+j AS (SELECT s.*, l.lang_detected FROM stats s JOIN l USING (doc_id))
+SELECT doc_id,
+  (CASE WHEN lang_detected <> 'en' THEN 0
+        {" ".join(f"WHEN NOT {_SQL_FLAG_EXPRS[n]} THEN 0" for n in FLAG_NAMES)}
+        ELSE 1 END)::int AS keep,
+  coalesce(CASE WHEN lang_detected <> 'en' THEN 'langid:' || lang_detected
+        {heur} END, '') AS drop_reason
+FROM j
+"""
+
+
+def q_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _doc(spark, sf_dir)
+    counts = scrub_counts(F.col("text"))
+    total = None
+    for name, _p, _r in PII_PATTERNS:
+        c = counts[name].cast("bigint")
+        total = c if total is None else total + c
+    return df.select(
+        "doc_id",
+        scrub_text(F.col("text")).alias("scrubbed_text"),
+        total.alias("n_pii"),
+    )
+
+
+def sql_scrub() -> str:
+    from .functions.scrub import oracle_scrub_sql
+
+    n_pii = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::bigint"
+        for _n, pat, _r in PII_PATTERNS
+    )
+    return (
+        f"SELECT doc_id, {oracle_scrub_sql('text')} AS scrubbed_text, "
+        f"{n_pii} AS n_pii FROM documents"
+    )
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content md5 (training-data op #1)."""
+    df = _doc(spark, sf_dir)
+    return (
+        df.select("doc_id", F.md5(F.col("text")).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.count("*").cast("bigint").alias("dup_count"),
+            F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+        )
+    )
+
+
+def sql_exact_dedup() -> str:
+    return (
+        "SELECT md5(text) AS content_md5, count(*)::bigint AS dup_count, "
+        "min(doc_id)::bigint AS keeper_doc_id FROM documents GROUP BY 1"
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 of case/whitespace-canonicalized text."""
+    df = _doc(spark, sf_dir)
+    canon = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return df.select("doc_id", F.md5(canon).alias("fingerprint"))
+
+
+def sql_doc_fingerprint() -> str:
+    return (
+        "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) "
+        "AS fingerprint FROM documents"
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace+punct tokenizer)."""
+    df = _doc(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), TOKEN_SPLIT_RE), lambda t: t != ""
+    )
+    return df.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique_tokens"),
+    )
+
+
+def sql_token_stats() -> str:
+    return (
+        f"SELECT doc_id, len({_SQL_TOKS})::bigint AS n_tokens, "
+        f"len(list_distinct({_SQL_TOKS}))::bigint AS n_unique_tokens "
+        "FROM documents"
+    )
+
+
+def q_source_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filename_regex analog over the source column (assertions.rs:1028)."""
+    df = _doc(spark, sf_dir)
+    return df.filter(F.col("source").rlike("^src1[0-9]$")).select(
+        "doc_id", "source"
+    )
+
+
+def sql_source_filter() -> str:
+    return (
+        "SELECT doc_id, source FROM documents "
+        "WHERE regexp_matches(source, '^src1[0-9]$')"
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter-metrics style rollup over the events stream table."""
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.groupBy(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("epoch_hour"),
+        "event_type",
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.round(F.col("value") * 1000000).cast("bigint")).alias(
+            "sum_value_micros"
+        ),
+    )
+
+
+def sql_events_hourly() -> str:
+    return """
+SELECT floor(epoch(ts) / 3600)::bigint AS epoch_hour, event_type,
+  count(*)::bigint AS n_events,
+  sum(round(value * 1000000)::bigint)::bigint AS sum_value_micros
+FROM events GROUP BY 1, 2
+"""
+
+
+_CELL_COLS = {
+    "l_orderkey": "number",
+    "l_quantity": "number",
+    "l_shipdate": "date",
+    "l_returnflag": "string",
+}
+_TYPE_ORDER = ["number", "currency", "percentage", "date", "string"]
+
+
+def q_cell_type_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """table_shape majority-vote cell typing (assertions.rs:2204-2342) run
+    relationally over lineitem columns cast to strings."""
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    stack_expr = "stack({}, {})".format(
+        len(_CELL_COLS),
+        ", ".join(
+            f"'{c}', cast({c} as string)" for c in _CELL_COLS
+        ),
+    )
+    cells = df.select(F.expr(stack_expr).alias("column_name", "cell"))
+    typed = cells.select(
+        "column_name",
+        (
+            F.when(F.trim(F.col("cell")) == "", "empty")
+            .when(F.trim(F.col("cell")).rlike(_CURRENCY_RE), "currency")
+            .when(F.trim(F.col("cell")).rlike(_PCT_RE), "percentage")
+            .when(F.trim(F.col("cell")).rlike(_NUMBER_RE), "number")
+            .when(F.trim(F.col("cell")).rlike(_DATE_RE), "date")
+            .otherwise("string")
+        ).alias("cell_type"),
+    )
+    counts = typed.groupBy("column_name", "cell_type").agg(
+        F.count("*").alias("cnt")
+    )
+    w = W.partitionBy("column_name").orderBy(
+        F.desc("cnt"), F.asc("cell_type")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("column_name", F.col("cell_type").alias("majority_type"))
+    )
+
+
+def sql_cell_type_majority() -> str:
+    unions = " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, cast({c} AS varchar) AS cell FROM lineitem"
+        for c in _CELL_COLS
+    )
+    return f"""
+WITH cells AS ({unions}),
+typed AS (
+  SELECT column_name,
+    CASE WHEN trim(cell) = '' THEN 'empty'
+         WHEN regexp_matches(trim(cell), '{_CURRENCY_RE}') THEN 'currency'
+         WHEN regexp_matches(trim(cell), '{_PCT_RE}') THEN 'percentage'
+         WHEN regexp_matches(trim(cell), '{_NUMBER_RE}') THEN 'number'
+         WHEN regexp_matches(trim(cell), '{_DATE_RE}') THEN 'date'
+         ELSE 'string' END AS cell_type
+  FROM cells),
+counts AS (
+  SELECT column_name, cell_type, count(*) AS cnt
+  FROM typed GROUP BY 1, 2),
+ranked AS (
+  SELECT column_name, cell_type,
+    row_number() OVER (PARTITION BY column_name ORDER BY cnt DESC, cell_type ASC) AS rn
+  FROM counts)
+SELECT column_name, cell_type AS majority_type FROM ranked WHERE rn = 1
+"""
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline (training-data op):
+    query = embedding of vec_id 0; returns top 10 neighbors by rounded
+    cosine with deterministic (score, vec_id) tie-break."""
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    joined = df.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    dot = F.aggregate(
+        F.zip_with("embedding", "q_emb", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_a = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    norm_q = F.sqrt(
+        F.aggregate(
+            F.transform("q_emb", lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = joined.select(
+        "vec_id", F.round(dot / (norm_a * norm_q), 4).alias("cos_r")
+    )
+    w = W.orderBy(F.desc("cos_r"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def sql_embedding_topk() -> str:
+    return """
+WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+    round(
+      list_sum(list_transform(list_zip(e.embedding, q.q_emb),
+                              p -> p[1]::double * p[2]::double))
+      / (sqrt(list_sum(list_transform(e.embedding, x -> x::double * x::double)))
+         * sqrt(list_sum(list_transform(q.q_emb, x -> x::double * x::double)))),
+      4) AS cos_r
+  FROM embeddings e, q WHERE e.vec_id <> 0),
+ranked AS (
+  SELECT vec_id, row_number() OVER (ORDER BY cos_r DESC, vec_id ASC) AS rank
+  FROM scored)
+SELECT vec_id::bigint AS vec_id, rank::bigint AS rank FROM ranked WHERE rank <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible: pandas-UDF sketches, html parse)
+# ---------------------------------------------------------------------------
+
+
+def q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash + MinHash sketches per doc (near-dup identity; pandas UDFs
+    — no SQL oracle, driver records rows-only)."""
+    from .functions.hashing import minhash_signature_col, simhash64_col
+
+    df = _doc(spark, sf_dir)
+    sig = minhash_signature_col(F.col("text"), num_hashes=16)
+    return df.select(
+        "doc_id",
+        simhash64_col(F.col("text")).alias("simhash"),
+        F.element_at(sig, 1).alias("minhash_0"),
+        F.element_at(sig, 16).alias("minhash_15"),
+    )
+
+
+def q_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: wrap documents as html and run the FULL chain (parse UDF
+    -> template fold -> langid -> ppl -> heuristics -> scrub)."""
+    from .pipeline import quality_filter
+
+    df = _doc(spark, sf_dir)
+    esc = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), "&", "&amp;"), "<", "&lt;"
+        ),
+        ">",
+        "&gt;",
+    )
+    html = F.concat(
+        F.lit("<html><head><title>t</title></head><body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.regexp_replace(esc, "\n", "</p><p>"),
+        F.lit("</p></body></html>"),
+    )
+    docs = df.select(
+        F.concat(F.lit("https://"), "source", F.lit("/doc/"), F.col("doc_id")).alias("url"),
+        (F.lit("2024-01-01").cast("timestamp") + F.make_interval(secs=F.col("doc_id"))).alias("warc_ts"),
+        html.cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    # the test parquet is a single small file -> one input split; fan out
+    # so the parse UDF uses every core. (At 100 TB the scan itself yields
+    # thousands of splits and this repartition is unnecessary — it exists
+    # because maxPartitionBytes cannot split a tiny file.)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    out = quality_filter(docs)
+    return out.select(
+        "url",
+        F.col("keep").cast("int").alias("keep"),
+        F.coalesce("drop_reason", F.lit("")).alias("drop_reason"),
+        "lang_detected",
+        F.round("ppl", 2).alias("ppl"),
+        F.col("fingerprint.matched").cast("int").alias("template_matched"),
+    )
+
+
+ORACLE_QUERIES = {
+    "langid": (q_langid, sql_langid),
+    "lang_distribution": (q_lang_distribution, sql_lang_distribution),
+    "gopher_stats": (q_gopher_stats, sql_gopher_stats),
+    "gopher_flags": (q_gopher_flags, sql_gopher_flags),
+    "pipeline_keep": (q_pipeline_keep, sql_pipeline_keep),
+    "scrub": (q_scrub, sql_scrub),
+    "exact_dedup": (q_exact_dedup, sql_exact_dedup),
+    "doc_fingerprint": (q_doc_fingerprint, sql_doc_fingerprint),
+    "token_stats": (q_token_stats, sql_token_stats),
+    "source_filter": (q_source_filter, sql_source_filter),
+    "events_hourly": (q_events_hourly, sql_events_hourly),
+    "cell_type_majority": (q_cell_type_majority, sql_cell_type_majority),
+    "embedding_topk": (q_embedding_topk, sql_embedding_topk),
+}
+
+ROWS_ONLY_QUERIES = {
+    "sketches": q_sketches,
+    "html_pipeline": q_html_pipeline,
+}
+
+
+def all_queries():
+    out = {name: fn for name, (fn, _sql) in ORACLE_QUERIES.items()}
+    out.update(ROWS_ONLY_QUERIES)
+    return out
+
+
+def all_oracle_sql():
+    return {name: sql() for name, (_fn, sql) in ORACLE_QUERIES.items()}

@@ -45,7 +45,7 @@ from .functions.perplexity import (
 from .functions.scrub import scrub_counts, scrub_text
 from .functions.textstats import gopher_quality_flags, text_stats
 from .operators.match import apply_match
-from .parse import parse_html_col
+from .parse import enrich_col, parse_html_col
 
 HEURISTIC_FLAGS = [
     "words_in_range", "mean_word_len_in_range", "symbol_ratio_ok",
@@ -130,8 +130,18 @@ def quality_filter(
     # match an html corpus (enricher.rs:455-468 done at compile time)
     rules = [r for r in rules if r.format == "html"]
 
-    # stage 0: parse once (the only Python; Arrow-batched)
-    df = df.withColumn("parsed", parse_html_col(F.col(html_col)))
+    # stage 0: ONE Python pass per document — structural parse + perplexity
+    # + simhash in a single Arrow-batched UDF (separate chained UDFs would
+    # double the Python worker pool and re-serialize the parsed struct)
+    df = df.withColumn(
+        "_enriched", enrich_col(F.col(html_col), ppl_model or default_ppl_model())
+    )
+    df = (
+        df.withColumn("parsed", F.col("_enriched.parsed"))
+        .withColumn("ppl", F.col("_enriched.ppl"))
+        .withColumn("simhash", F.col("_enriched.simhash"))
+        .drop("_enriched")
+    )
     df = df.withColumn("extracted_text", F.col("parsed.normalized"))
 
     # stage 1: template match (broadcast fold, enricher.rs:201-268 analog)
@@ -148,10 +158,7 @@ def quality_filter(
         "lang_score", F.col("_lid.score")
     ).drop("_lid")
 
-    # stage 3: perplexity (broadcast n-gram model, Arrow-batched)
-    df = df.withColumn(
-        "ppl", perplexity_col(F.col("extracted_text"), ppl_model or default_ppl_model())
-    )
+    # stage 3: perplexity — already computed in the enrich pass (stage 0)
 
     # stage 4: heuristics (pure Column exprs)
     df = df.withColumn("stats", text_stats(F.col("extracted_text")))

@@ -480,8 +480,8 @@ def q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "doc_id",
         simhash64_col(F.col("text")).alias("simhash"),
-        F.element_at(sig, 1).alias("minhash_0"),
-        F.element_at(sig, 16).alias("minhash_15"),
+        F.try_element_at(sig, F.lit(1)).alias("minhash_0"),
+        F.try_element_at(sig, F.lit(16)).alias("minhash_15"),
     )
 
 

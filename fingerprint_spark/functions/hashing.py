@@ -15,8 +15,10 @@ between shuffling ~100 TB and shuffling ~100 GB.
 
 from __future__ import annotations
 
+import zlib
 from functools import lru_cache
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column
@@ -42,38 +44,70 @@ def _shingles(text: str, k: int) -> list[str]:
     return [" ".join(words[i: i + k]) for i in range(len(words) - k + 1)]
 
 
+def _shingle_hashes64(text: str, k: int) -> "np.ndarray":
+    """uint64 hash per word k-shingle: two salted crc32s (C speed)
+    combined — deterministic across processes, ~50x faster than a pure-
+    Python per-byte hash loop."""
+    shingles = _shingles(text, k)
+    if not shingles:
+        return np.empty(0, dtype=np.uint64)
+    lo = np.fromiter(
+        (zlib.crc32(s.encode("utf-8")) for s in shingles),
+        dtype=np.uint64, count=len(shingles),
+    )
+    hi = np.fromiter(
+        (zlib.crc32(s.encode("utf-8"), 0x9E3779B9) for s in shingles),
+        dtype=np.uint64, count=len(shingles),
+    )
+    return (hi << np.uint64(32)) | lo
+
+
 def simhash64_py(text: str, k: int = 3) -> int:
-    """64-bit SimHash over word k-shingles (signed int64 for Spark)."""
-    v = [0] * 64
-    for sh in _shingles(text, k):
-        h = fnv1a64(sh.encode("utf-8"))
-        for bit in range(64):
-            v[bit] += 1 if (h >> bit) & 1 else -1
-    out = 0
-    for bit in range(64):
-        if v[bit] > 0:
-            out |= 1 << bit
+    """64-bit SimHash over word k-shingles (signed int64 for Spark).
+    Bit-majority accumulated with numpy unpackbits — vectorized."""
+    h = _shingle_hashes64(text, k)
+    if h.size == 0:
+        return 0
+    bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    votes = bits.sum(axis=0) * 2 > h.size  # majority per bit position
+    out = int(
+        np.packbits(votes.astype(np.uint8), bitorder="little")
+        .view(np.uint64)[0]
+    )
     return out - (1 << 64) if out >= (1 << 63) else out
+
+
+# universal-hash parameters over the 31-bit Mersenne prime: a,b,h < 2^31
+# so a*h+b < 2^62 fits exactly in uint64 — standard 32-bit MinHash
+_MINHASH_P = (1 << 31) - 1
+
+
+@lru_cache(maxsize=4)
+def _minhash_params(num_hashes: int):
+    a = np.array(
+        [(((2 * i + 1) * 0x9E3779B9) % _MINHASH_P) | 1 for i in range(num_hashes)],
+        dtype=np.uint64,
+    )[:, None]
+    b = np.array(
+        [((i + 1) * 0x85EBCA6B) % _MINHASH_P for i in range(num_hashes)],
+        dtype=np.uint64,
+    )[:, None]
+    return a, b
 
 
 def minhash_signature_py(text: str, num_hashes: int = 64, k: int = 3) -> list[int]:
     """MinHash signature via one base hash + universal-hash mixing.
 
-    h_i(x) = (a_i * h(x) + b_i) mod p — the standard single-pass trick so
-    each shingle is hashed once, not num_hashes times.
-    """
-    shingles = _shingles(text, k)
-    if not shingles:
+    h_i(x) = (a_i * h(x) + b_i) mod p, p = 2^31-1 — each shingle hashed
+    once with crc32, all permutations applied as one (num_hashes x
+    n_shingles) uint64 broadcast, min along shingles. Fully vectorized."""
+    base = _shingle_hashes64(text, k)
+    if base.size == 0:
         return [0] * num_hashes
-    base = [fnv1a64(s.encode("utf-8")) for s in shingles]
-    p = (1 << 61) - 1
-    sig = []
-    for i in range(num_hashes):
-        a = (2 * i + 1) * 0x9E3779B97F4A7C15 & _MASK64 | 1
-        b = (i + 1) * 0xC2B2AE3D27D4EB4F & _MASK64
-        m = min(((a * h + b) % p) for h in base)
-        sig.append(m & 0x7FFFFFFFFFFFFFFF)
-    return sig
+    a, b = _minhash_params(num_hashes)
+    h = (base % np.uint64(_MINHASH_P))[None, :]
+    sig = ((a * h + b) % np.uint64(_MINHASH_P)).min(axis=1)
+    return [int(x) for x in sig]
 
 
 @lru_cache(maxsize=2)

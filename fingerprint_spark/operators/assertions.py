@@ -124,7 +124,7 @@ def table_columns(
     """Positional: pattern[i] must match header[i]; table must have >=
     len(patterns) columns (assertions.rs:1868-1895)."""
     ts = _tables_matching(parsed, heading_ref_pattern)
-    t = F.element_at(ts, index + 1)
+    t = F.try_element_at(ts, F.lit(index + 1))
     pats = F.array(*[F.lit(p) for p in patterns])
     ok = F.forall(
         F.zip_with(
@@ -147,7 +147,7 @@ def table_min_rows(
 ) -> Column:
     """>= N data rows (assertions.rs:1934-1950)."""
     ts = _tables_matching(parsed, heading_ref_pattern)
-    t = F.element_at(ts, index + 1)
+    t = F.try_element_at(ts, F.lit(index + 1))
     return t.isNotNull() & (F.size(t["rows"]) >= min_rows)
 
 
@@ -187,7 +187,7 @@ def _cell_type(cell: Column) -> Column:
 def _column_majority_type(t: Column, col_idx: Column) -> Column:
     """Strict-majority (>50% of non-empty cells) type of column i; 'none'
     when no majority (assertions.rs:2204-2262)."""
-    cells = F.transform(t["rows"], lambda r: F.element_at(r, col_idx + 1))
+    cells = F.transform(t["rows"], lambda r: F.try_element_at(r, col_idx + 1))
     typed = F.transform(cells, _cell_type)
     non_empty = F.filter(typed, lambda x: x != "empty")
     n = F.size(non_empty)
@@ -222,7 +222,7 @@ def table_shape(
     """>= min_columns and per-column majority type equals expected
     (assertions.rs:1897-1932)."""
     ts = _tables_matching(parsed, heading_ref_pattern)
-    t = F.element_at(ts, index + 1)
+    t = F.try_element_at(ts, F.lit(index + 1))
     width = F.greatest(
         F.size(t["headers"]),
         F.coalesce(
@@ -247,10 +247,10 @@ def metadata_regex(pdf: Column, key: str, pattern: str) -> Column:
     """Info-dict value for key (case-insensitive) matches
     (assertions.rs:1546-1580)."""
     meta = pdf["metadata"]
-    matched_key = F.element_at(
-        F.filter(F.map_keys(meta), lambda k: F.lower(k) == key.lower()), 1
+    matched_key = F.try_element_at(
+        F.filter(F.map_keys(meta), lambda k: F.lower(k) == key.lower()), F.lit(1)
     )
-    return matched_key.isNotNull() & F.element_at(meta, matched_key).rlike(pattern)
+    return matched_key.isNotNull() & F.try_element_at(meta, matched_key).rlike(pattern)
 
 
 # -- html-only family (assertions.rs:1952-2074) -----------------------------
@@ -333,7 +333,7 @@ def full_width_row(parsed: Column, pattern: str, min_cells: int = 2) -> Column:
             t["rows"],
             lambda r: (F.size(r) >= min_cells)
             & (F.size(F.array_distinct(F.filter(r, lambda c: c != ""))) == 1)
-            & F.element_at(F.filter(r, lambda c: c != ""), 1).rlike(pattern),
+            & F.try_element_at(F.filter(r, lambda c: c != ""), F.lit(1)).rlike(pattern),
         ),
     )
 
@@ -413,10 +413,10 @@ def a1_to_rc(ref: str) -> tuple[int, int]:
 
 def _sheet(sheets: Column, name: str) -> Column:
     """Case-insensitive sheet lookup (assertions.rs:1051-1075)."""
-    key = F.element_at(
-        F.filter(F.map_keys(sheets), lambda k: F.lower(k) == name.lower()), 1
+    key = F.try_element_at(
+        F.filter(F.map_keys(sheets), lambda k: F.lower(k) == name.lower()), F.lit(1)
     )
-    return F.element_at(sheets, F.coalesce(key, F.lit("\x00missing")))
+    return F.try_element_at(sheets, F.coalesce(key, F.lit("\x00missing")))
 
 
 def sheet_exists(sheets: Column, name: str) -> Column:
@@ -433,15 +433,15 @@ def sheet_name_regex_bind(sheets: Column, pattern: str) -> Column:
     """The bound $var: first matching sheet name in sorted order
     (deterministic; reference binds during sequential evaluation,
     assertions.rs:171-174, 353-386)."""
-    return F.element_at(
-        F.filter(F.sort_array(F.map_keys(sheets)), lambda k: k.rlike(pattern)), 1
+    return F.try_element_at(
+        F.filter(F.sort_array(F.map_keys(sheets)), lambda k: k.rlike(pattern)), F.lit(1)
     )
 
 
 def _cell(sheets: Column, sheet: str, ref: str) -> Column:
     r, c = a1_to_rc(ref)
     grid = _sheet(sheets, sheet)
-    return F.element_at(F.element_at(grid, r + 1), c + 1)
+    return F.try_element_at(F.try_element_at(grid, F.lit(r + 1)), F.lit(c + 1))
 
 
 def cell_eq(sheets: Column, sheet: str, ref: str, value: str) -> Column:
@@ -509,7 +509,7 @@ def column_search(
     return F.exists(
         rows,
         lambda row: F.coalesce(
-            F.element_at(row, c + 1).rlike(pattern), F.lit(False)
+            F.try_element_at(row, F.lit(c + 1)).rlike(pattern), F.lit(False)
         ),
     )
 
@@ -557,7 +557,7 @@ def sum_eq(
     cells = _range_cells(sheets, sheet, a1_range)
     nums = F.transform(
         cells,
-        lambda c: F.regexp_replace(F.coalesce(c, F.lit("")), r"[$,€£¥\s]", "").cast(
+        lambda c: F.regexp_replace(F.coalesce(c, F.lit("")), r"[$,€£¥\s]", "").try_cast(
             "double"
         ),
     )
@@ -568,7 +568,7 @@ def sum_eq(
     )
     target = F.regexp_replace(
         F.coalesce(_cell(sheets, sheet, cell_ref), F.lit("")), r"[$,€£¥\s]", ""
-    ).cast("double")
+    ).try_cast("double")
     return target.isNotNull() & (F.abs(total - target) <= tolerance)
 
 
@@ -579,5 +579,5 @@ def within_tolerance(
     reference (assertions.rs:315-319); implemented per docs."""
     v = F.regexp_replace(
         F.coalesce(_cell(sheets, sheet, cell_ref), F.lit("")), r"[$,€£¥\s%]", ""
-    ).cast("double")
+    ).try_cast("double")
     return v.isNotNull() & v.between(min_value, max_value)

@@ -67,7 +67,7 @@ def child_routing(children: Column) -> Column:
     """selected (exactly 1 matched) / no_child_match / ambiguous (>1)
     (enricher.rs:434-450). Null when no children were evaluated."""
     n_matched = F.size(F.filter(children, lambda c: c["matched"]))
-    selected = F.element_at(F.filter(children, lambda c: c["matched"]), 1)
+    selected = F.try_element_at(F.filter(children, lambda c: c["matched"]), F.lit(1))
     return F.when(F.size(children) == 0, F.lit(None).cast(
         "struct<status:string,selected_id:string>"
     )).otherwise(
@@ -87,8 +87,10 @@ def apply_match(
     rules: list[FingerprintDefinition],
     env: dict[str, Column],
     result_col: str = "fingerprint",
+    with_extracts: bool = False,
 ) -> DataFrame:
-    """Full match pass: root fold + children + routing, one projection."""
+    """Full match pass: root fold + children + routing (+ extraction and
+    content hash for the winning rule), one projection."""
     root = first_match_fold(rules, env)
     df = df.withColumn(result_col, root)
     winner = F.when(
@@ -97,7 +99,46 @@ def apply_match(
     kids = children_array(rules, env, winner)
     df = df.withColumn("children", kids)
     df = df.withColumn("child_routing", child_routing(F.col("children")))
+    if with_extracts:
+        df = apply_extracts(df, rules, env, winner)
     return df
+
+
+def apply_extracts(
+    df: DataFrame,
+    rules: list[FingerprintDefinition],
+    env: dict[str, Column],
+    winner_id: Column,
+) -> DataFrame:
+    """Winner-rule anchor extraction + content hash (extract.rs:14-29,
+    content_hash.rs:7-69). Per-rule extract schemas differ, so the unified
+    output is ``extracted: map<string, string>`` (extract name -> JSON of
+    the anchor struct) — zero-retention metadata, never content."""
+    from .extract import compile_extract, content_hash_for_rule
+
+    ex_branches, ch_branches = [], []
+    for r in rules:
+        if r.parent is not None or not r.extract:
+            continue
+        is_winner = winner_id == F.lit(r.fingerprint_id)
+        json_extracts = {
+            e.name: F.to_json(compile_extract(e, env)) for e in r.extract
+        }
+        entries = []
+        for e in r.extract:
+            entries.append(F.lit(e.name))
+            entries.append(json_extracts[e.name])
+        ex_branches.append(F.when(is_winner, F.create_map(*entries)))
+        ch_branches.append(
+            F.when(is_winner, content_hash_for_rule(r, json_extracts, F.lit(True)))
+        )
+    if not ex_branches:
+        df = df.withColumn(
+            "extracted", F.lit(None).cast("map<string,string>")
+        )
+        return df.withColumn("content_hash", F.lit(None).cast("string"))
+    df = df.withColumn("extracted", F.coalesce(*ex_branches))
+    return df.withColumn("content_hash", F.coalesce(*ch_branches))
 
 
 def outcome_fold(df: DataFrame, result_col: str = "fingerprint") -> str:

@@ -1,0 +1,134 @@
+"""Dedup + ANN operator tests with planted duplicates/neighbors."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fingerprint_spark.operators.dedup import (
+    dedup_exact,
+    embedding_near_dup,
+    exact_dup_groups,
+    minhash_candidates,
+    minhash_dedup,
+    ngram_jaccard_verify,
+    simhash_candidates,
+)
+from fingerprint_spark.operators.similarity import (
+    cosine_topk,
+    ivf_assign,
+    ivf_topk,
+    lsh_topk,
+    sample_centroids,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden trees "
+    "as morning light spreads across the quiet village square slowly"
+)
+NEAR = BASE.replace("quiet village", "quiet little village")  # tiny edit
+FAR = (
+    "completely different content about database systems and query "
+    "optimization with columnar storage vectorized execution and "
+    "adaptive partitioning strategies for distributed analytical engines"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        ("u1", BASE),
+        ("u2", BASE),                      # exact dup of u1
+        ("u3", "  " + BASE.upper() + " "), # canonical dup of u1
+        ("u4", NEAR),                      # near dup of u1
+        ("u5", FAR),
+    ]
+    return spark.createDataFrame(rows, ["url", "text"])
+
+
+def test_exact_dedup(docs):
+    kept = dedup_exact(docs)
+    urls = {r["url"] for r in kept.select("url").collect()}
+    assert "u1" in urls           # min-key survivor
+    assert "u2" not in urls
+    assert "u3" not in urls       # case/ws canonicalization
+    assert {"u4", "u5"} <= urls
+
+    groups = exact_dup_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["dup_count"] == 3
+    assert groups[0]["keeper"] == "u1"
+
+
+def test_minhash_lsh_near_dup(docs):
+    cands = {
+        (r["key_a"], r["key_b"]): r["est_jaccard"]
+        for r in minhash_candidates(docs, num_hashes=64, bands=16).collect()
+    }
+    assert ("u1", "u4") in cands
+    assert cands[("u1", "u4")] > 0.5
+    assert ("u1", "u5") not in cands
+
+    kept = {r["url"] for r in minhash_dedup(docs, threshold=0.5).select("url").collect()}
+    assert "u1" in kept and "u4" not in kept and "u5" in kept
+
+
+def test_ngram_jaccard_verify(docs, spark):
+    pairs = spark.createDataFrame(
+        [("u1", "u4"), ("u1", "u5")], ["key_a", "key_b"]
+    )
+    j = {
+        (r["key_a"], r["key_b"]): r["jaccard"]
+        for r in ngram_jaccard_verify(pairs, docs).collect()
+    }
+    assert j[("u1", "u4")] > 0.7
+    assert j[("u1", "u5")] < 0.05
+
+
+def test_simhash_near_dup(docs):
+    # u1-u4 measured at hamming 7 -> use 8 chunks (recall guaranteed <= 7)
+    pairs = {
+        (r["key_a"], r["key_b"]): r["hamming"]
+        for r in simhash_candidates(docs, max_hamming=7, n_chunks=8).collect()
+    }
+    assert ("u1", "u2") in pairs and pairs[("u1", "u2")] == 0
+    assert ("u1", "u4") in pairs and pairs[("u1", "u4")] <= 7
+    assert ("u1", "u5") not in pairs
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_cosine_topk_and_lsh_agree(emb):
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = [r["key"] for r in cosine_topk(emb, q, k=5).collect()]
+    assert exact[0] == 0  # self is its own nearest neighbor
+    # LSH with generous probing must recover most of the exact top-5
+    approx = [
+        r["key"]
+        for r in lsh_topk(emb, q, k=5, n_planes=8, probe_hamming=3).collect()
+    ]
+    assert exact[0] in approx
+    assert len(set(exact) & set(approx)) >= 3
+
+
+def test_ivf_topk(emb):
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cents = sample_centroids(emb, n_cells=8)
+    assigned = ivf_assign(emb, cents)
+    res = [r["key"] for r in ivf_topk(assigned, cents, q, k=5, n_probe=3).collect()]
+    assert len(res) == 5
+    exact = [r["key"] for r in cosine_topk(emb, q, k=5).collect()]
+    assert exact[0] in res
+
+
+def test_embedding_near_dup_finds_self_duplicates(spark, emb):
+    # plant an exact duplicate vector with a new id
+    dup = emb.filter(F.col("vec_id") == 3).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    both = emb.union(dup)
+    pairs = embedding_near_dup(both, threshold=0.999, n_planes=12).collect()
+    found = {(r["key_a"], r["key_b"]) for r in pairs}
+    assert (3, 100003) in found

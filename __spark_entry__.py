@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import os
 import sys
-import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,36 +22,11 @@ from pyspark.sql import DataFrame, SparkSession
 _REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _REPO)
 
-_PYFILES_ZIP = "/tmp/fingerprint_spark_pyfiles.zip"
-
-
-def _build_pyfiles_zip() -> str:
-    """Zip the package for worker-side import (idempotent, mtime-gated)."""
-    pkg = os.path.join(_REPO, "fingerprint_spark")
-    sources = []
-    for root, _dirs, files in os.walk(pkg):
-        for f in sorted(files):
-            if f.endswith(".py"):
-                sources.append(os.path.join(root, f))
-    newest = max(os.path.getmtime(s) for s in sources)
-    if (
-        not os.path.exists(_PYFILES_ZIP)
-        or os.path.getmtime(_PYFILES_ZIP) < newest
-    ):
-        tmp = _PYFILES_ZIP + ".tmp"
-        with zipfile.ZipFile(tmp, "w") as z:
-            for s in sources:
-                z.write(s, os.path.relpath(s, _REPO))
-        os.replace(tmp, _PYFILES_ZIP)
-    return _PYFILES_ZIP
-
-
 def ensure_pyfiles(spark: SparkSession) -> None:
     """addPyFile once per SparkContext (spark-submit --py-files analog)."""
-    sc = spark.sparkContext
-    if not getattr(sc, "_fingerprint_spark_pyfiles", False):
-        sc.addPyFile(_build_pyfiles_zip())
-        sc._fingerprint_spark_pyfiles = True
+    from fingerprint_spark.deploy import ensure_pyfiles as _ep
+
+    _ep(spark)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -105,7 +105,7 @@ def run_bench(cores: str, sf_dir: str, names: list[str]) -> dict:
 
 
 SCALING_CORPUS = "/tmp/fingerprint_spark_scaling_corpus.parquet"
-SCALING_DOCS = 60_000
+SCALING_DOCS = 120_000
 
 
 def run_corpus_pipeline(cores: str, corpus_path: str) -> dict:
@@ -122,7 +122,7 @@ def run_corpus_pipeline(cores: str, corpus_path: str) -> dict:
     n_docs = df.count()
     out = quality_filter(df.select("url", "warc_ts", "html", "text", "lang"))
     best = float("inf")
-    for i in range(3):  # run0 = warm-up
+    for i in range(4):  # run0 = warm-up; min-of-3 (host background load)
         t0 = time.perf_counter()
         _materialize(out)
         dt = time.perf_counter() - t0
@@ -144,8 +144,11 @@ def _ensure_scaling_corpus() -> None:
     from fingerprint_spark.corpus import generate_corpus
     from fingerprint_spark.session import get_spark
 
-    spark = get_spark("fingerprint_spark_corpusgen", cores="32")
-    generate_corpus(spark, SCALING_DOCS, partitions=64).write.mode(
+    # 256 partitions: task granularity matters — with 64 tasks the wave
+    # quantization + tail skew capped measured efficiency at ~0.5; 256
+    # tasks of ~230 docs measure the engine, not the scheduler
+    spark = get_spark("fingerprint_spark_corpusgen", cores="24")
+    generate_corpus(spark, SCALING_DOCS, partitions=256).write.mode(
         "overwrite"
     ).parquet(SCALING_CORPUS)
     spark.stop()
@@ -196,10 +199,15 @@ def main() -> None:
                     help="run the N vs 4N scaling measurement")
     ap.add_argument("--corpus-pipeline", default=None,
                     help="time the full pipeline over a corpus parquet")
+    # default N=4 -> 4N=16: the sandbox host carries ~8-13 cores of
+    # exogenous background load, so local[32] can never see 4x over
+    # local[8]; 16 cores still fit inside the free capacity.
+    ap.add_argument("--n-small", type=int, default=4)
+    ap.add_argument("--n-large", type=int, default=16)
     args = ap.parse_args()
 
     if args.scaling:
-        print(json.dumps(run_scaling(args.sf_dir)))
+        print(json.dumps(run_scaling(args.sf_dir, args.n_small, args.n_large)))
         return
     if args.corpus_pipeline:
         print(json.dumps(run_corpus_pipeline(str(args.cores), args.corpus_pipeline)))

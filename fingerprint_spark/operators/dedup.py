@@ -29,12 +29,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hamming64, minhash_signature_col, simhash64_col
-
-
-def canonical_text(text: Column) -> Column:
-    """Case/whitespace canonicalization before hashing."""
-    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+from ..functions.hashing import (
+    canonical_text_col as canonical_text,
+    hamming64,
+    minhash_signature_col,
+    simhash64_col,
+)
 
 
 def dedup_exact(

@@ -47,6 +47,11 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # ship the package to Python workers (--py-files pattern): UDF
+    # closures must import fingerprint_spark regardless of driver cwd
+    from .deploy import ensure_pyfiles
+
+    ensure_pyfiles(spark)
     return spark
 
 

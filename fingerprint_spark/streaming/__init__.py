@@ -1,0 +1,13 @@
+"""Structured Streaming surface of the engine."""
+
+from .pipeline import (
+    stream_metrics_by_window,
+    stream_quality_filter,
+    streaming_dedup,
+)
+
+__all__ = [
+    "stream_quality_filter",
+    "stream_metrics_by_window",
+    "streaming_dedup",
+]

@@ -130,7 +130,7 @@ def table_columns(
         F.zip_with(
             F.slice(t["headers"], 1, len(patterns)),
             pats,
-            lambda h, p: h.rlike(p),
+            lambda h, p: F.regexp_like(h, p),
         ),
         lambda x: x,
     )
@@ -191,10 +191,15 @@ def _column_majority_type(t: Column, col_idx: Column) -> Column:
     typed = F.transform(cells, _cell_type)
     non_empty = F.filter(typed, lambda x: x != "empty")
     n = F.size(non_empty)
+    def count_of(ty: str):
+        # NB: a `ty=ty` default arg would make Spark treat this as a
+        # two-parameter (value, index) HOF lambda — closure factory instead
+        return F.size(F.filter(non_empty, lambda x: x == F.lit(ty)))
+
     counts = F.array(
         *[
             F.struct(
-                F.size(F.filter(non_empty, lambda x, ty=ty: x == ty)).alias("cnt"),
+                count_of(ty).alias("cnt"),
                 F.lit(i).alias("nrank"),
                 F.lit(ty).alias("ty"),
             )
@@ -274,7 +279,7 @@ def header_token_search(
         lambda t: F.size(
             F.filter(
                 toks,
-                lambda tok: F.exists(t["headers"], lambda h: h.rlike(tok)),
+                lambda tok: F.exists(t["headers"], lambda h: F.regexp_like(h, tok)),
             )
         ),
     )
@@ -538,7 +543,7 @@ def header_row_match(
                 F.filter(
                     pats,
                     lambda p: F.exists(
-                        row, lambda c: F.coalesce(c.rlike(p), F.lit(False))
+                        row, lambda c: F.coalesce(F.regexp_like(c, p), F.lit(False))
                     ),
                 )
             ),

@@ -558,3 +558,148 @@ def all_queries():
 
 def all_oracle_sql():
     return {name: sql() for name, (_fn, sql) in ORACLE_QUERIES.items()}
+
+
+# ---------------------------------------------------------------------------
+# relational coverage: windows, joins, near-dup jaccard
+# ---------------------------------------------------------------------------
+
+
+def q_events_user_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function coverage: per-user event sequence + running count
+    (deterministic order: ts, event_id)."""
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return df.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.row_number().over(w).cast("bigint").alias("seq"),
+        F.count("*").over(
+            w.rowsBetween(W.unboundedPreceding, 0)
+        ).cast("bigint").alias("running_events"),
+        F.coalesce(
+            F.lag("event_type").over(w), F.lit("")
+        ).alias("prev_type"),
+    )
+
+
+def sql_events_user_window() -> str:
+    return """
+SELECT event_id::bigint AS event_id, user_id::bigint AS user_id,
+  row_number() OVER w ::bigint AS seq,
+  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint
+    AS running_events,
+  coalesce(lag(event_type) OVER w, '') AS prev_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_orders_revenue_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join+agg coverage (TPC-H Q3 shape): revenue per order for BUILDING
+    customers, top 20 (broadcast dim, deterministic tie-break)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            ).alias("rev_d")
+        )
+    )
+    w = W.orderBy(F.desc("rev_d"), F.asc("l_orderkey"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(
+            F.col("l_orderkey").cast("bigint").alias("orderkey"),
+            F.col("rev_d").cast("string").alias("revenue"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def sql_orders_revenue_topn() -> str:
+    return """
+WITH j AS (
+  SELECT l_orderkey,
+         sum((l_extendedprice * (1 - l_discount))::decimal(18,4)) AS rev_d
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+  GROUP BY l_orderkey),
+r AS (
+  SELECT l_orderkey, rev_d,
+         row_number() OVER (ORDER BY rev_d DESC, l_orderkey ASC) AS rank
+  FROM j)
+SELECT l_orderkey::bigint AS orderkey, rev_d::varchar AS revenue,
+       rank::bigint AS rank
+FROM r WHERE rank <= 20
+"""
+
+
+def q_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup operator, oracle-checkable form: word
+    3-shingle Jaccard between consecutive doc ids, scaled to an exact
+    integer (permille) to avoid float hashing."""
+    df = _doc(spark, sf_dir)
+
+    def shingles(col):
+        words = F.split(F.trim(F.lower(col)), r"\s+")
+        idx = F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)))
+        )
+
+    a = df.select(F.col("doc_id").alias("id_a"), shingles(F.col("text")).alias("sh_a"))
+    b = df.select((F.col("doc_id") - 1).alias("id_a"), shingles(F.col("text")).alias("sh_b"))
+    j = a.join(b, "id_a")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select(
+        F.col("id_a").cast("bigint").alias("doc_id"),
+        F.floor(inter * 1000 / F.greatest(union, F.lit(1))).cast("bigint").alias(
+            "jaccard_permille"
+        ),
+    )
+
+
+def sql_jaccard_adjacent() -> str:
+    sh = (
+        "list_distinct(list_transform("
+        "range(0, greatest(len(w) - 3, 0) + 1), "
+        "i -> array_to_string(w[i+1:i+3], ' ')))"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS w
+  FROM documents),
+s AS (SELECT doc_id, {sh} AS sh FROM t),
+p AS (
+  SELECT a.doc_id AS doc_id, a.sh AS sh_a, b.sh AS sh_b
+  FROM s a JOIN s b ON b.doc_id = a.doc_id + 1)
+SELECT doc_id::bigint AS doc_id,
+  floor(len(list_intersect(sh_a, sh_b)) * 1000
+        / greatest(len(list_distinct(sh_a || sh_b)), 1))::bigint
+    AS jaccard_permille
+FROM p
+"""
+
+
+ORACLE_QUERIES.update(
+    {
+        "events_user_window": (q_events_user_window, sql_events_user_window),
+        "orders_revenue_topn": (q_orders_revenue_topn, sql_orders_revenue_topn),
+        "jaccard_adjacent": (q_jaccard_adjacent, sql_jaccard_adjacent),
+    }
+)

@@ -703,3 +703,61 @@ ORACLE_QUERIES.update(
         "jaccard_adjacent": (q_jaccard_adjacent, sql_jaccard_adjacent),
     }
 )
+
+
+def q_struct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """struct-check over a manifest derived from the documents table
+    (rows-only: glob-rule completeness outcomes)."""
+    from .operators.structcheck import StructRule, struct_check
+
+    df = _doc(spark, sf_dir)
+    manifest = df.select(
+        F.concat(
+            F.lit("/corpus/"), "source", F.lit("/doc_"),
+            F.col("doc_id").cast("string"), F.lit("."),
+            F.when(F.col("doc_id") % 3 == 0, "txt").otherwise("md"),
+        ).alias("path")
+    )
+    rules = [
+        StructRule(
+            name="source_has_txt_and_md",
+            group_by="/corpus/src*",
+            required=("*.txt", "*.md"),
+        )
+    ]
+    return struct_check(manifest, rules)
+
+
+def q_infer_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Infer-mode candidate mining over html-wrapped documents
+    (rows-only: candidate type/params/support)."""
+    from .operators.infer import aggregate_candidates, observe
+    from .parse import parse_html_col
+
+    df = _doc(spark, sf_dir).limit(200)
+    esc = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(F.col("text"), "&", "&amp;"), "<", "&lt;"),
+        ">", "&gt;",
+    )
+    html = F.concat(
+        F.lit("<html><body><h1>Corpus Document</h1><h2>Body</h2><p>"),
+        esc, F.lit("</p></body></html>"),
+    )
+    parsed = df.select(
+        F.col("doc_id").cast("string").alias("url"),
+        parse_html_col(html).alias("parsed"),
+    )
+    cands = aggregate_candidates(observe(parsed), min_confidence=0.8)
+    rows = [
+        (c["type"], str(sorted(c["params"].items())), float(c["support"]))
+        for c in cands["assertions"]
+    ]
+    return spark.createDataFrame(rows, "type string, params string, support double")
+
+
+ROWS_ONLY_QUERIES.update(
+    {
+        "struct_check": q_struct_check,
+        "infer_candidates": q_infer_candidates,
+    }
+)

@@ -178,6 +178,33 @@ def quality_filter(
         ppl_threshold,
     )
     df = df.withColumn("keep", keep).withColumn("drop_reason", reason)
+
+    # lifecycle: parse failures are skips with warnings, never task
+    # failures (enricher.rs:145-159 E_PARSE); skipped docs drop with an
+    # explicit reason and carry the warning code
+    parse_err = F.col("parsed.parse_error")
+    df = df.withColumn(
+        "warnings",
+        F.filter(
+            F.array(F.when(parse_err.isNotNull(), F.lit("E_PARSE"))),
+            lambda w: w.isNotNull(),
+        ),
+    )
+    df = df.withColumn(
+        "keep", F.when(parse_err.isNotNull(), F.lit(False)).otherwise(F.col("keep"))
+    ).withColumn(
+        "drop_reason",
+        F.when(parse_err.isNotNull(), F.lit("skip:E_PARSE")).otherwise(
+            F.col("drop_reason")
+        ),
+    )
+    # tool_versions accumulation analog (enricher.rs:622-634)
+    from . import __version__
+
+    df = df.withColumn(
+        "tool_versions",
+        F.create_map(F.lit("fingerprint_spark"), F.lit(__version__)),
+    )
     return df
 
 

@@ -1,0 +1,74 @@
+"""text_near gap semantics + markdown normalization pass tests
+(assertions.rs:1691-1740, markdown.rs:64-175)."""
+
+import pytest
+
+from fingerprint_spark.operators.assertions import _near_match
+from fingerprint_spark.parse.markdown import normalize_markdown, parse_markdown
+
+
+class TestTextNear:
+    def test_bidirectional(self):
+        # value BEFORE anchor also matches (assertions.rs: bidirectional)
+        assert _near_match("1234 then Anchor", "Anchor", r"\d{4}", 8)
+        assert _near_match("Anchor then 1234", "Anchor", r"\d{4}", 8)
+
+    def test_any_anchor_occurrence(self):
+        t = "Anchor far away " + "x" * 100 + " Anchor 1234"
+        assert _near_match(t, "Anchor", r"\d{4}", 5)
+
+    def test_whitespace_gap_under_10_counts_as_zero(self):
+        # 9 whitespace chars between anchor and value: distance 0
+        t = "Anchor" + " " * 9 + "1234"
+        assert _near_match(t, "Anchor", r"\d{4}", 0)
+        # 9 chars but not whitespace-only: distance 9 > 0
+        t2 = "Anchor___ ___ 1234".replace(" ", "")  # 8 non-ws chars
+        assert not _near_match("Anchor________1234", "Anchor", r"\d{4}", 0)
+
+    def test_gap_10_or_more_is_counted(self):
+        t = "Anchor" + " " * 10 + "1234"
+        assert not _near_match(t, "Anchor", r"\d{4}", 9)
+        assert _near_match(t, "Anchor", r"\d{4}", 10)
+
+    def test_overlap_is_distance_zero(self):
+        assert _near_match("xAB1234x", "AB\\d+", r"\d{4}", 0)
+
+
+class TestMarkdownNormalization:
+    def test_setext_to_atx(self):
+        md = "Title\n=====\n\nSub\n---\n"
+        out = normalize_markdown(md)
+        assert "# Title" in out and "## Sub" in out
+        assert "=====" not in out
+
+    def test_bold_line_as_h2_with_blank_guards(self):
+        md = "\n**Section Name**\n\nbody"
+        assert "## Section Name" in normalize_markdown(md)
+        # no blank-line guard -> NOT promoted (markdown.rs:111-135)
+        md2 = "text before\n**Not A Heading**\ntext after"
+        assert "## Not A Heading" not in normalize_markdown(md2)
+
+    def test_blank_collapse_and_trailing_ws(self):
+        md = "a   \n\n\n\nb\t\n"
+        assert normalize_markdown(md) == "a\n\nb"
+
+    def test_table_pipe_spacing(self):
+        md = "|a|b|\n|---|---|\n|1|2|"
+        out = normalize_markdown(md)
+        assert "| a | b |" in out and "| 1 | 2 |" in out
+
+    def test_idempotent(self):
+        md = "Title\n=====\n\n**Bold**\n\n|a|b|\n|-|-|\n|1|2|\n\n\ntext"
+        once = normalize_markdown(md)
+        assert normalize_markdown(once) == once
+
+    def test_structure_sections_and_preamble(self):
+        md = "preamble line\n\n# A\nbody a\n## A1\nbody a1\n# B\nbody b"
+        p = parse_markdown(md)
+        secs = {(s["heading"], s["start_line"], s["end_line"]) for s in p["sections"]}
+        # preamble before first heading has heading=None
+        assert (None, 1, 2) in secs
+        # A extends to the line before B (contains A1 subsection)
+        a = next(s for s in p["sections"] if s["heading"] == "A")
+        b = next(s for s in p["sections"] if s["heading"] == "B")
+        assert a["end_line"] == b["start_line"] - 1

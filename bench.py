@@ -40,6 +40,8 @@ HEADLINE = [
     "gopher_flags",
     "cell_type_majority",
     "events_hourly",
+    "orders_revenue_topn",
+    "jaccard_adjacent",
 ]
 
 
@@ -163,8 +165,15 @@ def run_scaling(sf_dir: str, n_small: int = 8, n_large: int = 32) -> dict:
     _ensure_scaling_corpus()
     out = {}
     for cores in (n_small, n_large):
+        # taskset-pin the whole process tree (JVM + Python workers) to
+        # exactly `cores` CPUs: in unpinned local mode the Python workers
+        # of local[N] run on OTHER host cores, so the small leg secretly
+        # uses ~2N cores and deflates measured efficiency. Pinning makes
+        # N vs 4N honest — the cgroup-limited-executor shape of a real
+        # cluster.
         r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--cores", str(cores),
+            ["taskset", "-c", f"0-{cores - 1}",
+             sys.executable, os.path.abspath(__file__), "--cores", str(cores),
              "--corpus-pipeline", SCALING_CORPUS],
             capture_output=True, text=True, check=True,
         )

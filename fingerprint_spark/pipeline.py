@@ -251,3 +251,27 @@ def quality_filter_text(
             heur_fail.isNotNull(), F.concat(F.lit("heuristic:"), heur_fail)
         )
     return df.withColumn("keep", reason.isNull()).withColumn("drop_reason", reason)
+
+
+def revalidate(
+    parsed_df: DataFrame,
+    rules: list[FingerprintDefinition],
+    result_col: str = "fingerprint",
+) -> DataFrame:
+    """Incremental template re-validation (north_star requirement).
+
+    Input: a frame that already carries the ``parsed`` struct (e.g. the
+    stored output of a previous quality_filter run). Applying a NEW rule
+    version is a pure expression pass — no html parse, no Python stage,
+    no shuffle. The physical plan must contain no ArrowEvalPython node
+    (asserted in tests): at 100 TB this is the difference between
+    re-reading stored structs and re-parsing the crawl.
+    """
+    rules = [r for r in rules if r.format == "html"]
+    env = {
+        "url": F.col("url"),
+        "ts": F.col("warc_ts") if "warc_ts" in parsed_df.columns else None,
+        "parsed": F.col("parsed"),
+    }
+    env = {k: v for k, v in env.items() if v is not None}
+    return apply_match(parsed_df, rules, env, result_col=result_col)

@@ -112,3 +112,57 @@ def test_zero_shuffle_plan(spark):
     out = _run(spark, 50)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_revalidate_is_incremental_no_reparse(spark, tmp_path):
+    """New template version over stored parsed structs: no Python stage,
+    no shuffle in the plan; verdicts change with the new rules."""
+    from fingerprint_spark.dsl.model import make_assertion, FingerprintDefinition
+    from fingerprint_spark.pipeline import revalidate
+
+    out = quality_filter(generate_corpus(spark, 150, partitions=4))
+    stored = str(tmp_path / "stored")
+    out.select("url", "warc_ts", "parsed").write.parquet(stored)
+
+    v2_rules = [
+        FingerprintDefinition(
+            fingerprint_id="spam_any.v2",
+            format="html",
+            assertions=(
+                make_assertion(
+                    "text_regex", "spam",
+                    {"pattern": r"(?i)(buy cheap|casino|replica watches|weight loss)"},
+                ),
+            ),
+            source="builtin",
+            source_hash="md5:v2",
+        )
+    ]
+    re_df = revalidate(spark.read.parquet(stored), v2_rules)
+    plan = re_df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan  # no reparse
+    assert "Exchange" not in plan         # no shuffle
+    n_match = re_df.filter(F.col("fingerprint.matched")).count()
+    assert n_match > 0
+    assert re_df.filter(
+        F.col("fingerprint.matched")
+        & (F.col("fingerprint.fingerprint_id") == "spam_any.v2")
+    ).count() == n_match
+
+
+def test_salted_repartition_balances_skewed_hosts(spark):
+    """Host-skewed corpus: url-hash partitioning spreads the hot host's
+    docs across partitions (the salting path of repartition_by_url)."""
+    from fingerprint_spark.pipeline import repartition_by_url
+
+    df = generate_corpus(spark, 2000, partitions=4)
+    parts = repartition_by_url(df, 16, salt_buckets=8)
+    sizes = (
+        parts.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid").count().collect()
+    )
+    counts = [r["count"] for r in sizes]
+    # ~25% of docs share one host; balanced partitioning keeps the max
+    # partition well under that mass
+    assert max(counts) < 0.25 * 2000
+    assert max(counts) <= 3 * (2000 / 16)

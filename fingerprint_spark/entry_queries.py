@@ -761,3 +761,74 @@ ROWS_ONLY_QUERIES.update(
         "infer_candidates": q_infer_candidates,
     }
 )
+
+
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label vote over the embeddings table: for each of the first 20
+    vectors, the majority label among its 10 nearest neighbors (rounded
+    cosine, deterministic tie-breaks everywhere)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    pairs = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("qid"))
+    dot = F.aggregate(
+        F.zip_with("embedding", "q_emb", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+    )
+    scored = pairs.select(
+        "qid", "vec_id", "label",
+        F.round(dot / (norm(F.col("embedding")) * norm(F.col("q_emb"))), 4).alias("cos_r"),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos_r"), F.asc("vec_id"))
+    top = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
+    votes = top.groupBy("qid", "label").agg(F.count("*").alias("n"))
+    w2 = W.partitionBy("qid").orderBy(F.desc("n"), F.asc("label"))
+    return (
+        votes.withColumn("r", F.row_number().over(w2))
+        .filter(F.col("r") == 1)
+        .select(
+            F.col("qid").cast("bigint").alias("vec_id"),
+            F.col("label").cast("bigint").alias("predicted_label"),
+            F.col("n").cast("bigint").alias("votes"),
+        )
+    )
+
+
+def sql_knn_label_vote() -> str:
+    return """
+WITH q AS (SELECT vec_id AS qid, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
+scored AS (
+  SELECT q.qid, e.vec_id, e.label,
+    round(
+      list_sum(list_transform(list_zip(e.embedding, q.q_emb),
+                              p -> p[1]::double * p[2]::double))
+      / (sqrt(list_sum(list_transform(e.embedding, x -> x::double * x::double)))
+         * sqrt(list_sum(list_transform(q.q_emb, x -> x::double * x::double)))),
+      4) AS cos_r
+  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+top AS (
+  SELECT qid, label,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, vec_id ASC) AS rnk
+  FROM scored),
+votes AS (
+  SELECT qid, label, count(*) AS n FROM top WHERE rnk <= 10 GROUP BY 1, 2),
+best AS (
+  SELECT qid, label, n,
+         row_number() OVER (PARTITION BY qid ORDER BY n DESC, label ASC) AS r
+  FROM votes)
+SELECT qid::bigint AS vec_id, label::bigint AS predicted_label,
+       n::bigint AS votes
+FROM best WHERE r = 1
+"""
+
+
+ORACLE_QUERIES.update(
+    {"knn_label_vote": (q_knn_label_vote, sql_knn_label_vote)}
+)

@@ -39,6 +39,14 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
         r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
         "<IP>",
     ),
+    # toxicity masking (north_star: "PII/toxicity scrub"). The list is a
+    # versioned rule artifact like the templates; abridged here — a real
+    # deployment broadcasts a full lexicon the same way.
+    (
+        "toxicity",
+        r"(?i)\b(damn|hell|idiot|stupid|moron)\b",
+        "<MASKED>",
+    ),
 ]
 
 SCRUB_VERSION = "scrub.v1"

@@ -110,3 +110,28 @@ def test_support_for_query(spark, text_corpus):
     n = support_for_query(text_corpus, "casino bonus free spins")
     total = text_corpus.count()
     assert 0 < n < total
+
+
+def test_infer_schema_rule(spark, report_corpus):
+    """infer-schema: fields -> anchored text_near rule + text_match
+    extracts that match and extract on the training corpus."""
+    from fingerprint_spark.operators.infer import infer_schema_rule
+    from fingerprint_spark.operators.match import apply_match
+
+    # every report doc mentions 'Revenue details for period <i>'
+    d, text, report = infer_schema_rule(
+        report_corpus, {"period": "Revenue details for period 3"},
+        "schema_rule.v1", min_confidence=0.05,
+    )
+    assert report["period"]["anchor"] == "Summary"
+    assert d.assertions[0].type == "text_near"
+    assert d.extract[0].type == "text_match"
+    assert d.content_hash is not None
+
+    # the generalized pattern (digits -> \d+) matches EVERY doc
+    env = {"url": F.col("url"), "parsed": F.col("parsed")}
+    out = apply_match(report_corpus, [d], env, with_extracts=True)
+    assert out.filter(~F.col("fingerprint.matched")).count() == 0
+    row = out.first()
+    assert row["extracted"]["period"] is not None
+    assert row["content_hash"].startswith("md5:")

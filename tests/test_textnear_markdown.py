@@ -72,3 +72,47 @@ class TestMarkdownNormalization:
         a = next(s for s in p["sections"] if s["heading"] == "A")
         b = next(s for s in p["sections"] if s["heading"] == "B")
         assert a["end_line"] == b["start_line"] - 1
+
+
+class TestScrubToxicity:
+    def test_toxicity_masked_and_counted(self, spark):
+        from pyspark.sql import functions as F
+        from fingerprint_spark.functions.scrub import scrub_counts, scrub_text
+
+        df = spark.createDataFrame(
+            [("that DAMN thing is stupid but helloworld stays",)], ["text"]
+        )
+        out = df.select(
+            scrub_text(F.col("text")).alias("s"),
+            scrub_counts(F.col("text")).alias("c"),
+        ).first()
+        assert out["s"] == "that <MASKED> thing is <MASKED> but helloworld stays"
+        assert out["c"]["toxicity"] == 2
+
+
+class TestLangidNgram:
+    def test_tier2_ngram_classifier(self, spark):
+        from pyspark.sql import functions as F
+        from fingerprint_spark.corpus import VOCAB
+        from fingerprint_spark.functions.langid import (
+            langid_ngram_col,
+            train_char_ngram_profiles,
+        )
+
+        samples = {
+            lang: [" ".join(words[i : i + 10]) for i in range(0, 30, 10)]
+            for lang, words in VOCAB.items()
+        }
+        profiles = train_char_ngram_profiles(samples)
+        df = spark.createDataFrame(
+            [
+                ("the report and the data of the system for the people",),
+                ("der bericht und die daten von dem system für die",),
+                ("le rapport et les données du système pour le public",),
+            ],
+            ["text"],
+        )
+        rows = df.select(
+            langid_ngram_col(F.col("text"), profiles).alias("l")
+        ).collect()
+        assert [r["l"]["lang"] for r in rows] == ["en", "de", "fr"]

@@ -1,0 +1,59 @@
+"""Deployment-shape test: the pipeline via spark-submit --py-files
+(north_rule: 'run via spark-submit --py-files on a multi-executor
+cluster'). Exercises the real cluster launch path, not the library API."""
+
+import json
+import os
+import subprocess
+
+import pytest
+
+from fingerprint_spark.corpus import generate_corpus
+from fingerprint_spark.deploy import build_pyfiles_zip
+from fingerprint_spark.sources.corpus_io import write_corpus_partitioned
+
+SPARK_SUBMIT = "/opt/spark/bin/spark-submit"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit not available"
+)
+def test_spark_submit_pipeline_and_resume(spark, tmp_path):
+    corpus = str(tmp_path / "corpus")
+    out = str(tmp_path / "out")
+    write_corpus_partitioned(generate_corpus(spark, 200, partitions=4), corpus)
+    zip_path = build_pyfiles_zip(str(tmp_path / "pyfiles.zip"))
+
+    def submit(*extra):
+        r = subprocess.run(
+            [SPARK_SUBMIT, "--master", "local[4]",
+             "--conf", "spark.ui.enabled=false",
+             "--py-files", zip_path,
+             os.path.join(REPO, "scripts", "run_pipeline.py"),
+             "--input", corpus, "--output", out, "--buckets", "3", *extra],
+            capture_output=True, text=True, timeout=420,
+        )
+        return r
+
+    r1 = submit()
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    summary = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert summary["outcome"] == "OK"
+    assert summary["processed_buckets"] == [0, 1, 2]
+    assert summary["metrics"]["docs_scanned"] == 200
+
+    # rerun without --resume: refused (committed output protected)
+    r2 = submit()
+    assert r2.returncode != 0
+    assert "committed buckets" in (r2.stderr + r2.stdout)
+
+    # rerun with --resume: nothing recomputed
+    r3 = submit("--resume")
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    s3 = json.loads(r3.stdout.strip().splitlines()[-1])
+    assert s3["processed_buckets"] == []
+    assert s3["skipped_buckets"] == [0, 1, 2]
+
+    got = spark.read.parquet(out + "/bucket=*")
+    assert got.count() == 200

@@ -54,7 +54,13 @@ class CheckpointedRun:
         return os.path.join(self.output_dir, "_lineage", "manifest.jsonl")
 
     def completed_buckets(self) -> dict[int, dict]:
-        """Read the lineage manifest; last record per bucket wins."""
+        """Read the lineage manifest; last record per bucket wins.
+
+        A committed bucket id is only meaningful under the bucketing
+        scheme that produced it — resuming with a different n_buckets or
+        key_col would silently skip documents that now hash into a
+        "completed" bucket id. Records carry both and a mismatch refuses
+        to resume instead of losing data."""
         done: dict[int, dict] = {}
         if not os.path.exists(self.manifest_path):
             return done
@@ -64,8 +70,23 @@ class CheckpointedRun:
                 if not line:
                     continue
                 rec = json.loads(line)
-                if rec.get("params_hash") == self.params_hash:
-                    done[rec["bucket"]] = rec
+                if rec.get("params_hash") != self.params_hash:
+                    continue
+                rec_nb = rec.get("n_buckets")
+                rec_key = rec.get("key_col")
+                if (rec_nb is not None and rec_nb != self.n_buckets) or (
+                    rec_key is not None and rec_key != self.key_col
+                ):
+                    raise ValueError(
+                        "refusing to resume: manifest records bucketing "
+                        f"(n_buckets={rec_nb}, key_col={rec_key!r}) but this "
+                        f"run uses (n_buckets={self.n_buckets}, "
+                        f"key_col={self.key_col!r}); completed bucket ids are "
+                        "not comparable across bucketing schemes — rerun "
+                        "with the original configuration or a fresh "
+                        "output_dir/params_hash"
+                    )
+                done[rec["bucket"]] = rec
         return done
 
     def _append_manifest(self, rec: dict) -> None:
@@ -99,7 +120,12 @@ class CheckpointedRun:
             part = bucketed.filter(F.col(BUCKET_COL) == b).drop(BUCKET_COL)
             out = pipeline_fn(part)
             obs = None
-            if observe:
+            # quality-filter counter metrics reference keep/fingerprint/
+            # scrub/ppl — only attach them when the pipeline_fn actually
+            # produced that schema (run() accepts arbitrary callables).
+            if observe and {"keep", "fingerprint", "scrub", "ppl"} <= set(
+                out.columns
+            ):
                 out, obs = observe_pipeline(out, name=f"bucket_{b}_{time.time_ns()}")
             path = os.path.join(self.output_dir, f"bucket={b}")
             out.write.mode("overwrite").parquet(path)
@@ -107,6 +133,8 @@ class CheckpointedRun:
             rec = {
                 "bucket": b,
                 "params_hash": self.params_hash,
+                "n_buckets": self.n_buckets,
+                "key_col": self.key_col,
                 "output": path,
                 "metrics": metrics,
                 "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),

@@ -435,14 +435,13 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = joined.select(
         "vec_id", F.round(dot / (norm_a * norm_q), 4).alias("cos_r")
     )
-    w = W.orderBy(F.desc("cos_r"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select(
-            F.col("vec_id").cast("bigint").alias("vec_id"),
-            F.col("rank").cast("bigint").alias("rank"),
-        )
+    # TakeOrderedAndProject (per-partition top-k + driver merge) instead of
+    # a global unpartitioned window; the rank window sees only the 10 rows.
+    top = scored.orderBy(F.desc("cos_r"), F.asc("vec_id")).limit(10)
+    w = W.partitionBy(F.lit(1)).orderBy(F.desc("cos_r"), F.asc("vec_id"))
+    return top.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.row_number().over(w).cast("bigint").alias("rank"),
     )
 
 
@@ -615,15 +614,13 @@ def q_orders_revenue_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rev_d")
         )
     )
-    w = W.orderBy(F.desc("rev_d"), F.asc("l_orderkey"))
-    return (
-        j.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
-        .select(
-            F.col("l_orderkey").cast("bigint").alias("orderkey"),
-            F.col("rev_d").cast("string").alias("revenue"),
-            F.col("rank").cast("bigint").alias("rank"),
-        )
+    # TakeOrderedAndProject instead of a global unpartitioned window
+    top = j.orderBy(F.desc("rev_d"), F.asc("l_orderkey")).limit(20)
+    w = W.partitionBy(F.lit(1)).orderBy(F.desc("rev_d"), F.asc("l_orderkey"))
+    return top.select(
+        F.col("l_orderkey").cast("bigint").alias("orderkey"),
+        F.col("rev_d").cast("string").alias("revenue"),
+        F.row_number().over(w).cast("bigint").alias("rank"),
     )
 
 
@@ -650,14 +647,22 @@ FROM r WHERE rank <= 20
 def q_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup operator, oracle-checkable form: word
     3-shingle Jaccard between consecutive doc ids, scaled to an exact
-    integer (permille) to avoid float hashing."""
+    integer (permille) to avoid float hashing.
+
+    Shingles are hashed to int64 JVM-side (xxhash64 over the 3-word
+    slice) before the set ops: the join shuffles arrays of longs, not
+    strings, and intersect/union compare 8 bytes per element. The DuckDB
+    oracle keeps the string form — words contain no whitespace, so the
+    space-joined string is injective per shingle and the distinct /
+    intersect / union COUNTS (all the query emits) are identical modulo
+    a 64-bit hash collision (~1e-9 at this corpus size)."""
     df = _doc(spark, sf_dir)
 
     def shingles(col):
         words = F.split(F.trim(F.lower(col)), r"\s+")
         idx = F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0)))
         return F.array_distinct(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)))
+            F.transform(idx, lambda i: F.xxhash64(F.slice(words, i + 1, 3)))
         )
 
     a = df.select(F.col("doc_id").alias("id_a"), shingles(F.col("text")).alias("sh_a"))
@@ -707,7 +712,10 @@ ORACLE_QUERIES.update(
 
 def q_struct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """struct-check over a manifest derived from the documents table
-    (rows-only: glob-rule completeness outcomes)."""
+    (glob-rule completeness outcomes; checker.rs:151-381). The missing /
+    unexpected glob lists are concat_ws-stringified in the projection so
+    the driver's value-hash canonicalizer (pandas sort) never sees array
+    cells."""
     from .operators.structcheck import StructRule, struct_check
 
     df = _doc(spark, sf_dir)
@@ -725,7 +733,38 @@ def q_struct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             required=("*.txt", "*.md"),
         )
     ]
-    return struct_check(manifest, rules)
+    out = struct_check(manifest, rules)
+    return out.select(
+        "dir", "rule", "outcome",
+        F.concat_ws(",", "missing").alias("missing"),
+        F.concat_ws(",", "unexpected").alias("unexpected"),
+    )
+
+
+def sql_struct_check() -> str:
+    """fnmatch globs are SQL-expressible here: group_by '/corpus/src*'
+    selects every dir; '*.txt' / '*.md' are suffix tests. Missing globs
+    are emitted in required-tuple order, matching the Spark side."""
+    return """
+WITH manifest AS (
+  SELECT DISTINCT '/corpus/' || source AS dir,
+         'doc_' || doc_id::varchar || '.'
+           || (CASE WHEN doc_id % 3 = 0 THEN 'txt' ELSE 'md' END) AS file
+  FROM documents),
+dirs AS (
+  SELECT dir,
+         max(CASE WHEN file LIKE '%.txt' THEN 1 ELSE 0 END) AS has_txt,
+         max(CASE WHEN file LIKE '%.md' THEN 1 ELSE 0 END) AS has_md
+  FROM manifest GROUP BY dir)
+SELECT dir, 'source_has_txt_and_md' AS rule,
+  CASE WHEN has_txt + has_md = 2 THEN 'complete'
+       WHEN has_txt + has_md = 0 THEN 'empty'
+       ELSE 'partial' END AS outcome,
+  concat_ws(',', CASE WHEN has_txt = 0 THEN '*.txt' END,
+                 CASE WHEN has_md = 0 THEN '*.md' END) AS missing,
+  '' AS unexpected
+FROM dirs WHERE dir LIKE '/corpus/src%'
+"""
 
 
 def q_infer_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -755,12 +794,8 @@ def q_infer_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "type string, params string, support double")
 
 
-ROWS_ONLY_QUERIES.update(
-    {
-        "struct_check": q_struct_check,
-        "infer_candidates": q_infer_candidates,
-    }
-)
+ORACLE_QUERIES.update({"struct_check": (q_struct_check, sql_struct_check)})
+ROWS_ONLY_QUERIES.update({"infer_candidates": q_infer_candidates})
 
 
 def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -15,7 +15,7 @@ between shuffling ~100 TB and shuffling ~100 GB.
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 from functools import lru_cache
 
 import numpy as np
@@ -45,21 +45,29 @@ def _shingles(text: str, k: int) -> list[str]:
 
 
 def _shingle_hashes64(text: str, k: int) -> "np.ndarray":
-    """uint64 hash per word k-shingle: two salted crc32s (C speed)
-    combined — deterministic across processes, ~50x faster than a pure-
-    Python per-byte hash loop."""
+    """uint64 hash per word k-shingle: blake2b-64 (C speed, one call per
+    shingle) — deterministic across processes with 64 INDEPENDENT bits.
+
+    Not CRC32-based: crc32 is GF(2)-linear, so any crc-derived high word
+    is a linear function of the low word (a seeded crc32(s, salt) equals
+    crc32(s) XOR a length-dependent constant), collapsing the hash to 32
+    bits of entropy and correlating SimHash bits 32-63 with bits 0-31 —
+    which distorts Hamming distances and the 16-bit chunk bucketing built
+    on them. blake2b costs ~0.7us/shingle vs ~0.3 for dual-crc32;
+    uncorrelatedness of hi/lo words is asserted in tests."""
     shingles = _shingles(text, k)
     if not shingles:
         return np.empty(0, dtype=np.uint64)
-    lo = np.fromiter(
-        (zlib.crc32(s.encode("utf-8")) for s in shingles),
+    blake2b = hashlib.blake2b
+    return np.fromiter(
+        (
+            int.from_bytes(
+                blake2b(s.encode("utf-8"), digest_size=8).digest(), "little"
+            )
+            for s in shingles
+        ),
         dtype=np.uint64, count=len(shingles),
     )
-    hi = np.fromiter(
-        (zlib.crc32(s.encode("utf-8"), 0x9E3779B9) for s in shingles),
-        dtype=np.uint64, count=len(shingles),
-    )
-    return (hi << np.uint64(32)) | lo
 
 
 def simhash64_py(text: str, k: int = 3) -> int:

@@ -43,11 +43,14 @@ def cosine_topk(
         F.col(key_col).alias("key"),
         _cosine(F.col(emb_col), q).alias("cosine"),
     )
-    w = W.orderBy(F.desc("cosine"), F.asc("key"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    # sort+limit plans TakeOrderedAndProject (per-partition heap top-k +
+    # driver merge) — never serializes the full scored set through one
+    # task the way a global row_number window would. The rank window then
+    # runs over exactly k rows; partitionBy(lit(1)) keeps the partition
+    # spec non-empty (scale-safe by construction: input is already <= k).
+    top = scored.orderBy(F.desc("cosine"), F.asc("key")).limit(k)
+    w = W.partitionBy(F.lit(1)).orderBy(F.desc("cosine"), F.asc("key"))
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 def _sign_signature(col: Column, planes: list[list[float]]) -> Column:

@@ -59,12 +59,10 @@ class _StructParser(HTMLParser):
         self._heading: list[str] | None = None
         self._heading_level = 0
         self._text_buf: list[str] = []
-        # table state
-        self._table_depth = 0
-        self._t_rows: list[list[tuple[str, int, int, bool]]] = []  # (text, colspan, rowspan, is_th)
-        self._t_cur_row: list[tuple[str, int, int, bool]] | None = None
-        self._t_cell: list[str] | None = None
-        self._t_cell_attrs: tuple[int, int, bool] = (1, 1, False)
+        # table state: one frame per open <table> so NESTED tables parse
+        # independently instead of an inner <tr> clobbering the outer
+        # row in flight. Each frame: [rows, cur_row, cell, cell_attrs].
+        self._t_stack: list[list] = []
 
     # -- helpers ---------------------------------------------------------
     def _page(self) -> int | None:
@@ -92,8 +90,8 @@ class _StructParser(HTMLParser):
         if self._skip_depth:
             return
         if tag == "br":
-            if self._t_cell is not None:
-                self._t_cell.append(" ")
+            if self._t_stack and self._t_stack[-1][2] is not None:
+                self._t_stack[-1][2].append(" ")
             else:
                 self._text_buf.append("\n")
             return
@@ -115,14 +113,14 @@ class _StructParser(HTMLParser):
             self._heading_level = int(tag[1])
             return
         if tag == "table":
-            self._table_depth += 1
-            if self._table_depth == 1:
+            if not self._t_stack:
                 self._flush_text()
-                self._t_rows = []
+            self._t_stack.append([[], None, None, (1, 1, False)])
             return
-        if self._table_depth:
+        if self._t_stack:
+            top = self._t_stack[-1]
             if tag == "tr":
-                self._t_cur_row = []
+                top[1] = []
             elif tag in ("td", "th"):
                 colspan = rowspan = 1
                 for k, v in attrs:
@@ -130,8 +128,8 @@ class _StructParser(HTMLParser):
                         colspan = max(1, int(v))
                     elif k == "rowspan" and v and v.isdigit():
                         rowspan = max(1, int(v))
-                self._t_cell = []
-                self._t_cell_attrs = (colspan, rowspan, tag == "th")
+                top[2] = []
+                top[3] = (colspan, rowspan, tag == "th")
             return
         if tag in ("p", "div", "li", "tr", "ul", "ol", "blockquote", "pre"):
             self._text_buf.append("\n")
@@ -155,27 +153,28 @@ class _StructParser(HTMLParser):
                 )
             self._heading = None
             return
-        if self._table_depth:
-            if tag in ("td", "th") and self._t_cell is not None:
-                colspan, rowspan, is_th = self._t_cell_attrs
-                if self._t_cur_row is None:
-                    self._t_cur_row = []
-                self._t_cur_row.append(
-                    (normalize_ws("".join(self._t_cell)), colspan, rowspan, is_th)
+        if self._t_stack:
+            top = self._t_stack[-1]
+            if tag in ("td", "th") and top[2] is not None:
+                colspan, rowspan, is_th = top[3]
+                if top[1] is None:
+                    top[1] = []
+                top[1].append(
+                    (normalize_ws("".join(top[2])), colspan, rowspan, is_th)
                 )
-                self._t_cell = None
+                top[2] = None
                 return
-            if tag == "tr" and self._t_cur_row is not None:
-                self._t_rows.append(self._t_cur_row)
-                self._t_cur_row = None
+            if tag == "tr" and top[1] is not None:
+                top[0].append(top[1])
+                top[1] = None
                 return
             if tag == "table":
-                self._table_depth -= 1
-                if self._table_depth == 0:
-                    headers, rows = _expand_table(self._t_rows)
-                    if headers or rows:
-                        self.blocks.append(("table", headers, rows, self._page()))
-                    self._t_rows = []
+                # each table emits its own block at its close (inner
+                # tables therefore appear before their enclosing table)
+                self._t_stack.pop()
+                headers, rows = _expand_table(top[0])
+                if headers or rows:
+                    self.blocks.append(("table", headers, rows, self._page()))
                 return
             return
         if tag in ("p", "div", "li"):
@@ -184,11 +183,11 @@ class _StructParser(HTMLParser):
     def handle_data(self, data):
         if self._skip_depth:
             return
-        if self._t_cell is not None:
-            self._t_cell.append(data)
-            return
-        if self._table_depth:
-            return  # inter-cell whitespace inside table markup
+        if self._t_stack:
+            cell = self._t_stack[-1][2]
+            if cell is not None:
+                cell.append(data)
+            return  # else: inter-cell whitespace inside table markup
         if self._heading is not None:
             self._heading.append(data)
             return

@@ -6,7 +6,9 @@ influence. ``host_quota`` implements that as an
 ``applyInPandasWithState`` operator (the north_star's prescribed escape
 hatch for custom stateful semantics): state = docs admitted per host,
 rows beyond the cap are dropped, state survives across micro-batches via
-the state store and expires on watermark timeout.
+the state store, and — when a TTL is configured — is removed after a
+processing-time timeout so dead hosts age out (state size then bounded
+by ACTIVE host cardinality, not all-time host cardinality).
 
 This is the one operator in the engine where per-group ordering matters;
 admission within a batch is by (warc_ts, url) so replays are
@@ -25,11 +27,23 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 OUTPUT_DDL = "host string, url string, warc_ts timestamp, admitted_rank int"
 STATE_DDL = "count int"
 
+# host = authority component; no trailing-slash requirement ("[^/]+/"
+# would collapse every slash-less url like https://example.com into one
+# empty-string host sharing a single quota).
+HOST_RE = r"https?://([^/]+)"
 
-def _quota_fn(max_per_host: int):
+
+def _quota_fn(max_per_host: int, ttl_ms: int | None):
     def fn(
         key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # TTL fired with no new rows for this host: drop the state.
+            state.remove()
+            yield pd.DataFrame(
+                [], columns=["host", "url", "warc_ts", "admitted_rank"]
+            )
+            return
         (host,) = key
         count = state.get[0] if state.exists else 0
         out = []
@@ -48,6 +62,8 @@ def _quota_fn(max_per_host: int):
                     }
                 )
         state.update((count,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(
             out, columns=["host", "url", "warc_ts", "admitted_rank"]
         )
@@ -59,20 +75,30 @@ def host_quota(
     stream_df: DataFrame,
     max_per_host: int = 100,
     watermark: str = "1 hour",
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Admit at most max_per_host docs per host; stateful across
-    micro-batches, state expires after the processing-time timeout."""
+    micro-batches.
+
+    state_ttl_ms=None (default) keeps per-host state for the run
+    (NoTimeout — one int per host, bounded by host cardinality; an
+    availableNow query terminates cleanly, which a timer-bearing query
+    does not). Pass a TTL for long-lived continuous streams: state is
+    removed state_ttl_ms after the host's last activity via
+    ProcessingTimeTimeout, so dead hosts age out and their quota resets
+    if they reappear."""
     with_host = stream_df.withWatermark("warc_ts", watermark).withColumn(
-        "host", F.regexp_extract("url", r"https?://([^/]+)/", 1)
+        "host", F.regexp_extract("url", HOST_RE, 1)
     )
-    # NoTimeout: quota state is one int per host (bounded by host
-    # cardinality). In production add a ProcessingTimeTimeout TTL so dead
-    # hosts age out — with a TTL the query never fully idles, so tests
-    # that wait for termination must poll instead.
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if state_ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return with_host.groupBy("host").applyInPandasWithState(
-        _quota_fn(max_per_host),
+        _quota_fn(max_per_host, state_ttl_ms),
         outputStructType=OUTPUT_DDL,
         stateStructType=STATE_DDL,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

@@ -82,6 +82,33 @@ def test_params_change_invalidates_checkpoint(spark, corpus, tmp_path):
     assert s["processed_buckets"] == [0, 1, 2]
 
 
+def test_bucketing_change_refuses_resume(spark, corpus, tmp_path):
+    """Resuming under a different bucketing scheme must refuse, not
+    silently skip documents that now hash into a 'completed' bucket id."""
+    out = str(tmp_path / "out")
+    CheckpointedRun(out, n_buckets=4).run(corpus, _select_out, max_buckets=2)
+    with pytest.raises(ValueError, match="refusing to resume"):
+        CheckpointedRun(out, n_buckets=8).run(corpus, _select_out)
+    with pytest.raises(ValueError, match="refusing to resume"):
+        CheckpointedRun(out, n_buckets=4, key_col="text").completed_buckets()
+    # same scheme still resumes fine
+    s = CheckpointedRun(out, n_buckets=4).run(corpus, _select_out)
+    assert s["skipped_buckets"] == [0, 1]
+    assert s["complete"]
+
+
+def test_arbitrary_schema_pipeline_checkpoints(spark, corpus, tmp_path):
+    """run() accepts any pipeline_fn; quality-filter metrics must only
+    attach when the output schema actually carries those columns."""
+    run = CheckpointedRun(str(tmp_path / "out"), n_buckets=2)
+    s = run.run(corpus, lambda df: df.select("url", F.length("text").alias("n")))
+    assert s["complete"]
+    assert run.read_output(spark).count() == N
+    for rec in s["records"]:
+        assert rec["metrics"] == {}
+        assert rec["n_buckets"] == 2 and rec["key_col"] == "url"
+
+
 def test_observe_metrics_single_pass(spark, corpus):
     out, obs = observe_pipeline(quality_filter(corpus))
     out.write.mode("overwrite").format("noop").save()

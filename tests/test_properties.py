@@ -68,6 +68,66 @@ def test_minhash_signature_stable(s):
     assert all(0 <= x < (1 << 31) for x in sig)
 
 
+def test_nested_tables_parse_independently():
+    """An inner <table> must not clobber the outer row in flight: outer
+    cells collected before the nested table survive, and inner rows are
+    not merged into the outer table (real-world layout HTML)."""
+    html = (
+        "<html><body><table>"
+        "<tr><th>A</th><th>B</th></tr>"
+        "<tr><td>a1</td><td>"
+        "<table><tr><th>X</th></tr><tr><td>x1</td></tr></table>"
+        " after</td></tr>"
+        "<tr><td>a2</td><td>b2</td></tr>"
+        "</table></body></html>"
+    )
+    out = parse_html(html)
+    assert out["parse_error"] is None
+    tables = out["tables"]
+    assert len(tables) == 2
+    inner = next(t for t in tables if t["headers"] == ["X"])
+    outer = next(t for t in tables if t["headers"] == ["A", "B"])
+    assert inner["rows"] == [["x1"]]
+    assert ["a2", "b2"] in outer["rows"]
+    # the outer row whose cell contains the nested table keeps its cells
+    assert any(r and r[0] == "a1" for r in outer["rows"])
+
+
+def test_flat_table_unchanged_by_stack_refactor():
+    html = (
+        "<table><tr><th>H1</th><th>H2</th></tr>"
+        "<tr><td rowspan='2'>v</td><td>b</td></tr>"
+        "<tr><td>c</td></tr></table>"
+    )
+    out = parse_html(html)
+    (t,) = out["tables"]
+    assert t["headers"] == ["H1", "H2"]
+    assert t["rows"] == [["v", "b"], ["v", "c"]]
+
+
+def test_shingle_hash_hi_lo_uncorrelated():
+    """The 64-bit shingle hash must carry 64 independent bits: the high
+    word may not be a (near-)deterministic function of the low word, as
+    it was with crc32(s) / crc32(s, salt) (GF(2)-linear, hi = lo XOR a
+    length-dependent constant). Checks both XOR-constancy per length and
+    per-bit hi/lo correlation over a large sample."""
+    import numpy as np
+
+    from fingerprint_spark.functions.hashing import _shingle_hashes64
+
+    text = " ".join(f"w{i % 97}x{i % 89}" for i in range(3000))
+    h = _shingle_hashes64(text, 3)
+    lo = (h & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+    hi = (h >> np.uint64(32)).astype(np.uint64)
+    # 1) hi XOR lo is not (close to) a constant — the crc32 failure mode
+    assert len(np.unique(hi ^ lo)) > 0.99 * len(h)
+    # 2) bit i of hi agrees with bit i of lo ~50% of the time
+    for bit in range(0, 32, 5):
+        m = np.uint64(1 << bit)
+        agree = float(np.mean(((hi & m) != 0) == ((lo & m) != 0)))
+        assert 0.40 < agree < 0.60, f"bit {bit}: agreement {agree}"
+
+
 @settings(max_examples=60, deadline=None)
 @given(
     st.lists(st.sampled_from("the quick brown fox jumps over lazy dog".split()),

@@ -867,3 +867,85 @@ FROM best WHERE r = 1
 ORACLE_QUERIES.update(
     {"knn_label_vote": (q_knn_label_vote, sql_knn_label_vote)}
 )
+
+
+def q_extract_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction anchors + canonical content_hash, oracle-checked
+    (extract.rs:14-220, content_hash.rs:7-69): documents are wrapped in a
+    known html scaffold (<h1>Doc N</h1><h2>Body</h2><p>line…), the REAL
+    parse UDF + section/text_match extraction run on the Spark side, and
+    the anchors + presence-tagged md5 encoding are reproduced in pure SQL
+    on the oracle side (the scaffold makes them derivable: section 'Body'
+    starts at line 2 and ends at 2 + count of non-empty normalized text
+    lines; the first [0-9]+ within 400 chars after the first 'Doc' is the
+    doc id on line 1, offset 4)."""
+    from .functions.hashing import content_hash_col
+    from .operators.extract import extract_section, extract_text_match
+    from .parse import parse_html_col
+
+    df = _doc(spark, sf_dir)
+    esc = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(F.col("text"), "&", "&amp;"), "<", "&lt;"),
+        ">", "&gt;",
+    )
+    html = F.concat(
+        F.lit("<html><body><h1>Doc "), F.col("doc_id").cast("string"),
+        F.lit("</h1><h2>Body</h2><p>"),
+        F.regexp_replace(esc, "\n", "</p><p>"),
+        F.lit("</p></body></html>"),
+    )
+    parsed = df.select("doc_id", parse_html_col(html).alias("parsed"))
+    sec = extract_section(F.col("parsed"), "^Body$")
+    tm = extract_text_match(F.col("parsed"), "Doc", "[0-9]+", 400)
+    out = parsed.select(
+        "doc_id",
+        sec.alias("sec"),
+        tm.alias("tm"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("sec.start_line").cast("bigint").alias("s_start"),
+        F.col("sec.end_line").cast("bigint").alias("s_end"),
+        F.col("sec.heading").alias("s_heading"),
+        F.col("tm.line").cast("bigint").alias("tm_line"),
+        F.col("tm.char_offset").cast("bigint").alias("tm_offset"),
+        F.col("tm.matched").alias("tm_matched"),
+        content_hash_col(
+            F.to_json(F.col("sec")), F.to_json(F.col("tm")), algo="md5"
+        ).alias("content_hash"),
+    )
+
+
+def sql_extract_hash() -> str:
+    """The oracle shares the normalization regex with the html parser
+    (same module constant) and rebuilds the exact to_json strings +
+    presence-tagged 0x01/0x7f canonical encoding of content_hash_col."""
+    from .parse.html_parser import _WS_RE
+
+    ws = _WS_RE.pattern
+    return f"""
+WITH lines AS (
+  SELECT doc_id,
+    list_filter(
+      list_transform(string_split(text, chr(10)),
+        l -> trim(regexp_replace(l, '{ws}', ' ', 'g'))),
+      l -> l <> '') AS nl
+  FROM documents),
+anch AS (
+  SELECT doc_id, 2::bigint AS s_start, (2 + len(nl))::bigint AS s_end
+  FROM lines)
+SELECT doc_id, s_start, s_end, 'Body' AS s_heading,
+  1::bigint AS tm_line, 4::bigint AS tm_offset,
+  doc_id::varchar AS tm_matched,
+  'md5:' || md5(
+    chr(1) || '{{"start_line":2,"end_line":' || s_end::varchar
+           || ',"heading":"Body"}}'
+    || chr(127) ||
+    chr(1) || '{{"line":1,"char_offset":4,"matched":"'
+           || doc_id::varchar || '"}}'
+  ) AS content_hash
+FROM anch
+"""
+
+
+ORACLE_QUERIES.update({"extract_hash": (q_extract_hash, sql_extract_hash)})

@@ -8,10 +8,10 @@ parse.schema), the ``url`` column, a ``sheets`` grid column
 (``map<string, array<array<string>>>``) for the spreadsheet family, or a
 ``pdf`` struct (``page_count int, metadata map<string,string>``).
 
-Everything except ``text_near`` is a pure JVM-side expression (SURVEY.md
-§7: "everything in §2.2 except text_near is pure Spark SQL
-expressions/HOFs"). ``text_near`` needs positional regex scans and is an
-Arrow-batched pandas UDF.
+Every assertion — including ``text_near`` — is a pure JVM-side
+expression: text_near's positional regex scans are reconstructed from
+``split`` + ``regexp_extract_all`` (see ``match_spans``), so a rule set
+adds no Python stages beyond the single enrich UDF.
 
 Three assertion types are declared but unimplemented in the reference
 ("not implemented in v0.1", assertions.rs:315-319): ``range_populated``,
@@ -22,13 +22,9 @@ semantics and marks them implemented.
 from __future__ import annotations
 
 import re
-from functools import lru_cache
-
-import pandas as pd
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 # ---------------------------------------------------------------------------
 # universal (assertions.rs:1028-1049)
@@ -350,14 +346,17 @@ def page_section_count(parsed: Column, min_count: int, max_count: int) -> Column
 
 
 # ---------------------------------------------------------------------------
-# text_near — the one pandas-UDF assertion (assertions.rs:1691-1740)
+# text_near (assertions.rs:1691-1740) — JVM-side positional regex scans
 # ---------------------------------------------------------------------------
 
 
 def _near_match(
     text: str, anchor: str, value: str, within_chars: int
 ) -> bool:
-    """Bidirectional: value-pattern within N chars of ANY anchor match;
+    """Reference implementation (pure Python) of the text_near semantics —
+    kept as the test oracle for the Column version below.
+
+    Bidirectional: value-pattern within N chars of ANY anchor match;
     whitespace-only gaps shorter than 10 chars count as distance 0
     (assertions.rs:1733-1740)."""
     if not text:
@@ -380,20 +379,60 @@ def _near_match(
     return False
 
 
-@lru_cache(maxsize=64)
-def _text_near_udf(anchor: str, value: str, within_chars: int):
-    @F.pandas_udf(T.BooleanType())
-    def udf(texts: pd.Series) -> pd.Series:
-        return pd.Series(
-            [_near_match(t or "", anchor, value, within_chars) for t in texts],
-            dtype="bool",
-        )
+def match_spans(text: Column, pattern: str) -> Column:
+    """array<struct<s,e>> of all non-overlapping match spans of a Java
+    regex in ``text`` — JVM-side, no Python.
 
-    return udf
+    Spark exposes no positional regex function, but positions are fully
+    determined by ``split`` + ``regexp_extract_all`` over the same
+    pattern: text = parts[0]+ms[0]+parts[1]+ms[1]+…+parts[n], so match i
+    starts at len(parts[0..i]) + len(ms[0..i-1]). The slice-sums are
+    O(n²) in the MATCH count (not text length) — matches per doc are few.
+    """
+    parts = F.split(text, pattern, -1)
+    ms = F.regexp_extract_all(text, F.lit(pattern), F.lit(0))
+
+    def span(m, i):
+        start = F.length(F.concat_ws("", F.slice(parts, 1, i + 1))) + F.length(
+            F.concat_ws("", F.slice(ms, 1, i))
+        )
+        return F.struct(start.alias("s"), (start + F.length(m)).alias("e"))
+
+    return F.transform(ms, span)
 
 
 def text_near(parsed: Column, anchor: str, value: str, within_chars: int) -> Column:
-    return _text_near_udf(anchor, value, within_chars)(parsed["normalized"])
+    """Pure Column expression — adding text_near assertions to a rule set
+    adds ZERO Python stages (the 'exactly one ArrowEvalPython' plan
+    invariant holds with text_near active, and revalidate over stored
+    parsed structs stays Python-free). Java regex, like every other
+    assertion (rlike); the Python re reference implementation above is
+    the semantics oracle in tests."""
+    text = parsed["normalized"]
+    a_sp = match_spans(text, anchor)
+    v_sp = match_spans(text, value)
+    within = F.lit(within_chars)
+
+    def gap_ok(lo, hi):
+        glen = hi - lo
+        gap = F.substring(text, lo + 1, glen)
+        dist = F.when(
+            (glen < 10) & gap.rlike(r"^\s*$"), F.lit(0)
+        ).otherwise(glen)
+        return dist <= within
+
+    def near(a, v):
+        overlap = ~((v["s"] >= a["e"]) | (a["s"] >= v["e"]))
+        return (
+            overlap
+            | ((v["s"] >= a["e"]) & gap_ok(a["e"], v["s"]))
+            | ((a["s"] >= v["e"]) & gap_ok(v["e"], a["s"]))
+        )
+
+    return F.coalesce(
+        F.exists(a_sp, lambda a: F.exists(v_sp, lambda v: near(a, v))),
+        F.lit(False),
+    )
 
 
 # ---------------------------------------------------------------------------

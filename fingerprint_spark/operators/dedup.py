@@ -85,14 +85,22 @@ def minhash_candidates(
     if num_hashes % bands != 0:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
+    from pyspark import StorageLevel
+
     sig = df.select(
         F.col(key_col).alias("key"),
         minhash_signature_col(F.col(text_col), num_hashes, shingle_k).alias("sig"),
     )
-    # band_hash = xxhash64 of the band's slice, JVM-side
+    # consumed twice (banding + pair rejoin): persist so the signature
+    # UDF runs ONCE. Compact frame — key + 64 longs ≈ 550 B/doc,
+    # disk-backed at scale.
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    # band_hash = xxhash64 of the band's slice, JVM-side. The explode
+    # carries ONLY (key, band, band_hash) ≈ 24 B/row through the bucket
+    # shuffle — NOT the full signature (which would be ~sig_size × bands
+    # per doc); signatures rejoin on the much smaller candidate-pair set.
     banded = sig.select(
         "key",
-        "sig",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -110,7 +118,7 @@ def minhash_candidates(
                 ),
             )
         ).alias("bh"),
-    ).select("key", "sig", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
+    ).select("key", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -123,17 +131,25 @@ def minhash_candidates(
         .select(
             F.col("a.key").alias("key_a"),
             F.col("b.key").alias("key_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["key_a", "key_b"])
+    )
+    with_sigs = (
+        pairs.join(
+            sig.select(F.col("key").alias("key_a"), F.col("sig").alias("sig_a")),
+            "key_a",
+        )
+        .join(
+            sig.select(F.col("key").alias("key_b"), F.col("sig").alias("sig_b")),
+            "key_b",
+        )
     )
     est = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
         )
     ) / F.lit(float(num_hashes))
-    return pairs.select("key_a", "key_b", est.alias("est_jaccard"))
+    return with_sigs.select("key_a", "key_b", est.alias("est_jaccard"))
 
 
 def minhash_dedup(
@@ -300,22 +316,41 @@ def embedding_near_dup(
     threshold: float = 0.95,
     n_planes: int = 16,
     seed: int = 7,
+    max_bucket_size: int = 1000,
+    refine_planes: int = 8,
+    chain_width: int = 8,
 ) -> DataFrame:
     """Random-hyperplane LSH: sign-bit signature (deterministic seeded
     planes materialized as literals) -> bucket join -> exact cosine
-    verify. Only (key, 1 long) shuffles for candidate generation."""
+    verify. Only (key, signature) shuffles for candidate generation.
+
+    Degenerate-bucket guard (a dense bucket is otherwise quadratic):
+    1. buckets with > max_bucket_size rows get a SECOND signature from
+       refine_planes extra hyperplanes appended (splits merely-colliding
+       clusters; identical/near-identical vectors stay together);
+    2. buckets STILL over the cap pair only rows within chain_width
+       positions in key order (N·chain_width pairs, not N²). A fully
+       duplicated cluster still dedups exactly under a min-key survivor
+       policy — every member but the smallest appears as some key_b.
+       Recall impact: within a still-dense bucket, a near-dup pair more
+       than chain_width keys apart is missed; raise chain_width (or
+       refine_planes) to trade cost for recall.
+    """
     import random
+
+    from pyspark.sql import Window as W
 
     first = df.select(F.size(F.col(emb_col)).alias("d")).first()
     dim = first["d"]
     rng = random.Random(seed)
     planes = [
-        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+        [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        for _ in range(n_planes + refine_planes)
     ]
 
-    def sig(col: Column) -> Column:
+    def sig(col: Column, lo: int, hi: int) -> Column:
         bits = []
-        for p in planes:
+        for p in planes[lo:hi]:
             plane = F.array(*[F.lit(v) for v in p])
             dot = F.aggregate(
                 F.zip_with(col, plane, lambda x, y: x.cast("double") * y),
@@ -328,12 +363,32 @@ def embedding_near_dup(
     s = df.select(
         F.col(key_col).alias("key"),
         F.col(emb_col).alias("emb"),
-        sig(F.col(emb_col)).alias("bucket"),
+        sig(F.col(emb_col), 0, n_planes).alias("bucket"),
+        sig(F.col(emb_col), n_planes, n_planes + refine_planes).alias("rsig"),
     )
-    a, b = s.alias("a"), s.alias("b")
+    c1 = s.groupBy("bucket").agg(F.count("*").alias("n1"))
+    s = s.join(c1, "bucket").withColumn(
+        "bucket2",
+        F.when(
+            F.col("n1") > max_bucket_size, F.concat("bucket", F.lit("|"), "rsig")
+        ).otherwise(F.col("bucket")),
+    )
+    c2 = s.groupBy("bucket2").agg(F.count("*").alias("n2"))
+    w = W.partitionBy("bucket2").orderBy("key")
+    s2 = (
+        s.join(c2, "bucket2")
+        .withColumn("rn", F.row_number().over(w))
+        .select("key", "emb", "bucket2", "n2", "rn")
+    )
+    a, b = s2.alias("a"), s2.alias("b")
     pairs = a.join(
         b,
-        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.key") < F.col("b.key")),
+        (F.col("a.bucket2") == F.col("b.bucket2"))
+        & (F.col("a.key") < F.col("b.key"))
+        & (
+            (F.col("a.n2") <= max_bucket_size)
+            | (F.abs(F.col("b.rn") - F.col("a.rn")) <= chain_width)
+        ),
     ).select(
         F.col("a.key").alias("key_a"),
         F.col("b.key").alias("key_b"),

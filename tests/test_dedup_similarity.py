@@ -132,3 +132,33 @@ def test_embedding_near_dup_finds_self_duplicates(spark, emb):
     pairs = embedding_near_dup(both, threshold=0.999, n_planes=12).collect()
     found = {(r["key_a"], r["key_b"]) for r in pairs}
     assert (3, 100003) in found
+
+
+def test_embedding_near_dup_dense_bucket_capped(spark):
+    """Degenerate-bucket guard: a cluster of identical vectors must not
+    go quadratic (pairs bounded ~ N*chain_width, not N^2/2), and the
+    min-key survivor policy must still dedup the whole cluster exactly."""
+    n_cluster, dim = 60, 8
+    base = [1.0] + [0.25] * (dim - 1)
+    rows = [(i, base, 0) for i in range(n_cluster)]
+    # scattered non-dup vectors (alternating signs break collisions)
+    rows += [
+        (1000 + j, [(-1.0) ** (j + d) * (1.0 + 0.1 * d) for d in range(dim)], 1)
+        for j in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id int, embedding array<double>, label int"
+    )
+    pairs = embedding_near_dup(
+        df, threshold=0.999, n_planes=8,
+        max_bucket_size=10, refine_planes=4, chain_width=4,
+    ).collect()
+    cluster_pairs = [
+        (r["key_a"], r["key_b"]) for r in pairs
+        if r["key_a"] < n_cluster and r["key_b"] < n_cluster
+    ]
+    # capped: far below the all-pairs count (60*59/2 = 1770)
+    assert 0 < len(cluster_pairs) <= n_cluster * 4
+    # min-key survivor still removes every member but one
+    losers = {b for _a, b in cluster_pairs}
+    assert losers == set(range(1, n_cluster))

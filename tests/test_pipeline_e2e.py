@@ -114,6 +114,38 @@ def test_zero_shuffle_plan(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_one_python_stage_even_with_text_near_rules(spark):
+    """text_near is a pure Column expression: a rule set with several
+    text_near assertions must keep the plan at EXACTLY one
+    ArrowEvalPython (the enrich UDF) — not one per assertion instance."""
+    from fingerprint_spark.dsl.model import FingerprintDefinition, make_assertion
+    from fingerprint_spark.dsl.registry import builtin_rules
+
+    tn_rules = [
+        FingerprintDefinition(
+            fingerprint_id=f"tn{i}.v1",
+            format="html",
+            assertions=(
+                make_assertion(
+                    "text_near",
+                    f"a{i}",
+                    {"anchor": f"Anchor{i}", "value": r"\d+", "within_chars": 40},
+                ),
+            ),
+            source="builtin",
+            source_hash=f"md5:tn{i}",
+        )
+        for i in range(3)
+    ]
+    out = quality_filter(
+        generate_corpus(spark, 40, partitions=2),
+        rules=list(builtin_rules()) + tn_rules,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "Exchange" not in plan, plan
+
+
 def test_revalidate_is_incremental_no_reparse(spark, tmp_path):
     """New template version over stored parsed structs: no Python stage,
     no shuffle in the plan; verdicts change with the new rules."""

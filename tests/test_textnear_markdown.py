@@ -34,6 +34,45 @@ class TestTextNear:
         assert _near_match("xAB1234x", "AB\\d+", r"\d{4}", 0)
 
 
+def test_text_near_column_matches_python_reference(spark):
+    """The JVM Column implementation of text_near must agree with the
+    pure-Python reference (_near_match) across the semantic edge cases:
+    bidirectionality, any-occurrence, the <10-char whitespace-gap rule,
+    overlap, multi-match offset arithmetic, and empty/missing matches."""
+    from pyspark.sql import functions as F
+
+    from fingerprint_spark.operators.assertions import text_near
+
+    cases = [
+        "1234 then Anchor",
+        "Anchor then 1234",
+        "Anchor far away " + "x" * 100 + " Anchor 1234",
+        "Anchor" + " " * 9 + "1234",
+        "Anchor________1234",
+        "Anchor" + " " * 10 + "1234",
+        "xAB1234x",
+        "",
+        "no matches at all",
+        "1234",
+        "Anchor",
+        "Anchor Anchor 77 Anchor 1234 Anchor",
+        "a 1234 b Anchor c 5678 d",
+        "Anchor\n\t 1234",          # mixed whitespace gap
+        "Anchor" + "z" * 50 + "1234",
+    ]
+    for within in (0, 5, 10, 60):
+        df = spark.createDataFrame([(t,) for t in cases], ["normalized"])
+        parsed = F.struct(F.col("normalized").alias("normalized"))
+        got = [
+            r["near"]
+            for r in df.select(
+                text_near(parsed, "Anchor", r"\d{4}", within).alias("near")
+            ).collect()
+        ]
+        want = [_near_match(t, "Anchor", r"\d{4}", within) for t in cases]
+        assert got == want, f"within={within}: {list(zip(cases, got, want))}"
+
+
 class TestMarkdownNormalization:
     def test_setext_to_atx(self):
         md = "Title\n=====\n\nSub\n---\n"

@@ -14,6 +14,8 @@ Output discipline (driver hashes values after sorting columns by name):
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves type-hint strings here
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -949,3 +951,50 @@ FROM anch
 
 
 ORACLE_QUERIES.update({"extract_hash": (q_extract_hash, sql_extract_hash)})
+
+
+def q_xlsx_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-xlsx-bytes roundtrip, oracle-checked: per doc, an xlsx
+    workbook is BUILT (stdlib writer) from (doc_id, source) with
+    1 + (doc_id % 5) data rows, decoded back through the engine's xlsx
+    codec (sources/xlsx.py, the xlsx.rs:12-98 surface), and cells/shape
+    read via the grid-assertion accessors. The oracle recomputes every
+    value from the same columns in SQL."""
+    from .operators.assertions import _cell, _sheet, sheet_exists
+    from .sources.xlsx import make_xlsx, sheets_from_xlsx_col
+
+    @F.pandas_udf("binary")
+    def to_xlsx(doc_id: pd.Series, source: pd.Series) -> pd.Series:
+        out = []
+        for d, s in zip(doc_id, source):
+            rows = [["id", "source"]] + [
+                [str(int(d)), f"{s}_{i}"] for i in range(int(d) % 5 + 1)
+            ]
+            out.append(make_xlsx({"Data": rows}))
+        return pd.Series(out)
+
+    df = _doc(spark, sf_dir).select(
+        "doc_id", to_xlsx(F.col("doc_id"), F.col("source")).alias("xlsx")
+    )
+    sheets = sheets_from_xlsx_col(F.col("xlsx"))
+    df = df.select("doc_id", sheets.alias("sheets"))
+    return df.select(
+        "doc_id",
+        sheet_exists(F.col("sheets"), "data").cast("int").alias("has_sheet"),
+        _cell(F.col("sheets"), "Data", "A2").alias("cell_a2"),
+        _cell(F.col("sheets"), "Data", "B2").alias("cell_b2"),
+        F.size(_sheet(F.col("sheets"), "Data")).cast("bigint").alias("n_rows"),
+    )
+
+
+def sql_xlsx_grid() -> str:
+    return """
+SELECT doc_id, 1 AS has_sheet,
+  doc_id::varchar AS cell_a2,
+  source || '_0' AS cell_b2,
+  (doc_id % 5 + 2)::bigint AS n_rows
+FROM documents
+"""
+
+
+ORACLE_QUERIES.update({"xlsx_grid": (q_xlsx_grid, sql_xlsx_grid)})

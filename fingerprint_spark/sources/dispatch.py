@@ -48,13 +48,17 @@ def parse_by_format(
     content_col: str = "html",
     url_col: str = "url",
     csv_fallback: bool = True,
+    binary_formats: bool = False,
 ) -> DataFrame:
     """Add format + per-format parsed views:
 
     - ``format``: detected from the url extension
     - ``parsed``: structured view for html/markdown/text rows
     - ``sheets``: grid view for csv rows (and the csv-text fallback view
-      for txt/tsv rows when csv_fallback is on)
+      for txt/tsv rows when csv_fallback is on); with binary_formats,
+      also the decoded grid for xlsx rows (stdlib zip+XML codec)
+    - ``pdf``: (binary_formats only) page_count + Info metadata struct
+      for pdf rows, parsed from raw bytes
     """
     content = F.col(content_col)
     text = content.cast("string")
@@ -71,8 +75,21 @@ def parse_by_format(
     sheets_cond = F.col("format") == "csv"
     if csv_fallback:
         sheets_cond = sheets_cond | F.col("format").isin(*CSV_FALLBACK_FORMATS)
-    df = df.withColumn(
-        "sheets",
-        F.when(sheets_cond, sheets_from_csv_col(text, F.col(url_col))),
-    )
+    sheets = F.when(sheets_cond, sheets_from_csv_col(text, F.col(url_col)))
+    if binary_formats:
+        from .pdf import pdf_struct_from_binary_col
+        from .xlsx import sheets_from_xlsx_col
+
+        sheets = sheets.when(
+            F.col("format") == "xlsx",
+            sheets_from_xlsx_col(content.cast("binary")),
+        )
+        df = df.withColumn(
+            "pdf",
+            F.when(
+                F.col("format") == "pdf",
+                pdf_struct_from_binary_col(content.cast("binary")),
+            ),
+        )
+    df = df.withColumn("sheets", sheets)
     return df

@@ -8,9 +8,8 @@ Reference: src/document/csv.rs:6-85 (headers + eager rows, cell by
 The grid model is ``map<string, array<array<string>>>`` — the column the
 whole spreadsheet assertion family (operators/assertions.py) evaluates
 against. CSV parsing is pure JVM (split on lines/commas with a
-quoted-field regex); XLSX needs a codec this container doesn't ship and
-is stubbed behind an import-try (real clusters wire openpyxl into the
-same mapInPandas shape as multimodal codecs).
+quoted-field regex); XLSX bytes decode via the stdlib zip+XML reader in
+``sources/xlsx.py`` (no spreadsheet library needed — see that module).
 """
 
 from __future__ import annotations
@@ -57,11 +56,8 @@ def grid_cell(sheets: Column, sheet: str, a1: str) -> Column:
     return _cell(sheets, sheet, a1)
 
 
-def xlsx_to_sheets(payload: bytes):  # pragma: no cover - stub
-    """STUB: xlsx decode requires openpyxl/calamine, not present in this
-    container. On a real cluster: mapInPandas over the binary column ->
-    the same sheets map shape."""
-    raise NotImplementedError(
-        "xlsx codec not available in this environment; grids from CSV "
-        "text or pre-extracted tables only"
-    )
+def xlsx_to_sheets(payload: bytes) -> dict[str, list[list[str]]]:
+    """Real xlsx byte decode (stdlib zip+XML) — see sources/xlsx.py."""
+    from .xlsx import xlsx_to_sheets as _impl
+
+    return _impl(payload)

@@ -136,9 +136,34 @@ def apply_extracts(
         df = df.withColumn(
             "extracted", F.lit(None).cast("map<string,string>")
         )
-        return df.withColumn("content_hash", F.lit(None).cast("string"))
-    df = df.withColumn("extracted", F.coalesce(*ex_branches))
-    return df.withColumn("content_hash", F.coalesce(*ch_branches))
+        df = df.withColumn("content_hash", F.lit(None).cast("string"))
+    else:
+        df = df.withColumn("extracted", F.coalesce(*ex_branches))
+        df = df.withColumn("content_hash", F.coalesce(*ch_branches))
+    # the SELECTED child's extract hash (enricher.rs:401-453: matched
+    # child emits content_hash, unmatched children stay null)
+    kid_branches = []
+    for r in rules:
+        if r.parent is None or not r.extract or r.content_hash is None:
+            continue
+        is_selected = F.col("child_routing").isNotNull() & (
+            F.col("child_routing.selected_id") == F.lit(r.fingerprint_id)
+        )
+        json_extracts = {
+            e.name: F.to_json(compile_extract(e, env)) for e in r.extract
+        }
+        kid_branches.append(
+            F.when(
+                is_selected, content_hash_for_rule(r, json_extracts, F.lit(True))
+            )
+        )
+    if kid_branches:
+        df = df.withColumn("child_content_hash", F.coalesce(*kid_branches))
+    else:
+        df = df.withColumn(
+            "child_content_hash", F.lit(None).cast("string")
+        )
+    return df
 
 
 def outcome_fold(df: DataFrame, result_col: str = "fingerprint") -> str:

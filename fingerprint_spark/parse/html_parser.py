@@ -39,6 +39,13 @@ _VOID_TAGS = frozenset(
 )
 _WS_RE = re.compile(r"[ \t\r\f\v –—]+")
 _SEP_CELL_RE = re.compile(r"^[-:\s|]+$")
+# a block-level START tag implies the close of an open heading — real
+# HTML allows unclosed h*/p/tr/td (browsers imply closure); the reference
+# fixture suite expects malformed pages to DEGRADE, not vanish
+_IMPLIED_HEADING_CLOSE = frozenset(
+    ["p", "div", "table", "section", "ul", "ol", "li", "blockquote",
+     "pre", "tr", "hr"] + list(_HEADING_TAGS)
+)
 
 
 def normalize_ws(s: str) -> str:
@@ -81,6 +88,38 @@ class _StructParser(HTMLParser):
         if lines:
             self.blocks.append(("text", lines, self._page()))
 
+    def _close_heading(self) -> None:
+        if self._heading is None:
+            return
+        text = normalize_ws("".join(self._heading))
+        if text:
+            self.blocks.append(
+                ("heading", self._heading_level, text, self._page())
+            )
+        self._heading = None
+
+    # -- table-state repairs (implied closes on malformed input) ---------
+    def _t_close_cell(self, top) -> None:
+        if top[2] is None:
+            return
+        colspan, rowspan, is_th = top[3]
+        if top[1] is None:
+            top[1] = []
+        top[1].append((normalize_ws("".join(top[2])), colspan, rowspan, is_th))
+        top[2] = None
+
+    def _t_close_row(self, top) -> None:
+        self._t_close_cell(top)
+        if top[1] is not None:
+            top[0].append(top[1])
+            top[1] = None
+
+    def _t_emit(self, top) -> None:
+        self._t_close_row(top)
+        headers, rows = _expand_table(top[0])
+        if headers or rows:
+            self.blocks.append(("table", headers, rows, self._page()))
+
     # -- parser events ---------------------------------------------------
     def handle_starttag(self, tag, attrs):
         if tag in _IGNORED_TAGS:
@@ -89,6 +128,8 @@ class _StructParser(HTMLParser):
             return
         if self._skip_depth:
             return
+        if self._heading is not None and tag in _IMPLIED_HEADING_CLOSE:
+            self._close_heading()  # unclosed <h*> ends at the next block
         if tag == "br":
             if self._t_stack and self._t_stack[-1][2] is not None:
                 self._t_stack[-1][2].append(" ")
@@ -120,8 +161,10 @@ class _StructParser(HTMLParser):
         if self._t_stack:
             top = self._t_stack[-1]
             if tag == "tr":
+                self._t_close_row(top)  # implied </tr> (valid HTML)
                 top[1] = []
             elif tag in ("td", "th"):
+                self._t_close_cell(top)  # implied </td> (valid HTML)
                 colspan = rowspan = 1
                 for k, v in attrs:
                     if k == "colspan" and v and v.isdigit():
@@ -146,12 +189,7 @@ class _StructParser(HTMLParser):
                 self._page_stack.pop()
             return
         if tag in _HEADING_TAGS and self._heading is not None:
-            text = normalize_ws("".join(self._heading))
-            if text:
-                self.blocks.append(
-                    ("heading", self._heading_level, text, self._page())
-                )
-            self._heading = None
+            self._close_heading()
             return
         if self._t_stack:
             top = self._t_stack[-1]
@@ -170,11 +208,10 @@ class _StructParser(HTMLParser):
                 return
             if tag == "table":
                 # each table emits its own block at its close (inner
-                # tables therefore appear before their enclosing table)
+                # tables therefore appear before their enclosing table);
+                # open cell/row are committed first (implied closes)
                 self._t_stack.pop()
-                headers, rows = _expand_table(top[0])
-                if headers or rows:
-                    self.blocks.append(("table", headers, rows, self._page()))
+                self._t_emit(top)
                 return
             return
         if tag in ("p", "div", "li"):
@@ -195,6 +232,10 @@ class _StructParser(HTMLParser):
 
     def close(self):
         super().close()
+        # EOF with unbalanced structures: emit what was collected
+        self._close_heading()
+        while self._t_stack:
+            self._t_emit(self._t_stack.pop())
         self._flush_text()
 
 

@@ -42,6 +42,8 @@ HEADLINE = [
     "events_hourly",
     "orders_revenue_topn",
     "jaccard_adjacent",
+    "extract_hash",       # extraction anchors + content hash (round 2)
+    "xlsx_grid",          # xlsx encode/decode roundtrip (round 2)
 ]
 
 

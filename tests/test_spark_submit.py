@@ -57,3 +57,39 @@ def test_spark_submit_pipeline_and_resume(spark, tmp_path):
 
     got = spark.read.parquet(out + "/bucket=*")
     assert got.count() == 200
+
+
+def test_cli_display_surfaces_short_circuit():
+    """--describe/--schema/--list/--version exit 0 with JSON/banner output
+    even alongside invalid args, before argument validation
+    (cli_smoke_surfaces.rs:417 analog) — and need no SparkSession."""
+    import sys
+
+    script = os.path.join(REPO, "scripts", "run_pipeline.py")
+
+    def run(*args):
+        return subprocess.run(
+            [sys.executable, script, *args], capture_output=True, text=True,
+            timeout=60,
+        )
+
+    d = run("--describe", "--jobs", "nope")
+    assert d.returncode == 0
+    desc = json.loads(d.stdout)
+    assert desc["name"] == "fingerprint_spark"
+    assert desc["schema_version"] == "spark-operator.v0"
+    assert "exit_codes" in desc and "refusals" in desc and "pipeline" in desc
+    assert any(o["flag"] == "--resume" for o in desc["options"])
+    assert "html" in desc["capabilities"]["formats"]
+
+    s = run("--schema", "--jobs", "nope")
+    assert s.returncode == 0
+    assert "properties" in json.loads(s.stdout)
+
+    l = run("--list", "--rules-dir", os.path.join(REPO, "rules"))
+    assert l.returncode == 0
+    assert "soi-pack.v1" in l.stdout and "spam_pharma.v1" in l.stdout
+
+    v = run("--version", "--jobs", "nope")
+    assert v.returncode == 0
+    assert v.stdout.startswith("fingerprint_spark ")

@@ -90,7 +90,7 @@ class ExtractSection:
 class ContentHashConfig:
     """content_hash over selected extracts (src/dsl/content_hash.rs:7-69)."""
 
-    algo: str = "md5"  # reference: blake3 only; here md5/sha256/xxhash64
+    algo: str = "md5"  # md5/sha256/xxhash64 (JVM) or blake3 (reference-comparable, Python stage)
     over: tuple[str, ...] = ()
 
 

@@ -101,7 +101,7 @@ def validate_definition(d: FingerprintDefinition) -> None:
                 f"content_hash.over references unknown extracts {unknown} "
                 "(validate.rs:content_hash refs)",
             )
-        if d.content_hash.algo not in ("md5", "sha256", "xxhash64"):
+        if d.content_hash.algo not in ("md5", "sha256", "xxhash64", "blake3"):
             raise ValidationError(
                 "E_INVALID_YAML", f"unknown hash algo {d.content_hash.algo}"
             )

@@ -144,14 +144,76 @@ def minhash_signature_col(text: Column, num_hashes: int = 64, k: int = 3) -> Col
     return _minhash_udf(num_hashes, k)(text)
 
 
-def content_hash_col(*cols: Column, algo: str = "md5") -> Column:
+def content_hash_bytes_blake3(
+    names_values: list[tuple[str, str | None]]
+) -> str:
+    """REFERENCE-COMPARABLE content hash: replicates content_hash.rs
+    byte-for-byte — per selected name: name bytes, 0x00, then either
+    0x01 + u64-LE(len) + canonical JSON (recursively key-sorted, compact,
+    UTF-8 like serde_json) or 0x02 when missing, then 0xFF — hashed with
+    BLAKE3 and formatted ``blake3:<hex>`` (content_hash.rs:27-66).
+
+    ``names_values``: (extract name, JSON string of the anchor struct or
+    None) in ``over`` order."""
+    import json as _json
+
+    from .blake3_pure import blake3_hex
+
+    def canonical(v):
+        # serde_json::to_vec of a BTreeMap-canonicalized Value: compact
+        # separators, keys sorted recursively, raw UTF-8
+        return _json.dumps(
+            v, separators=(",", ":"), sort_keys=True, ensure_ascii=False
+        ).encode("utf-8")
+
+    buf = bytearray()
+    for name, js in names_values:
+        buf += name.encode("utf-8")
+        buf += b"\x00"
+        if js is None:
+            buf += b"\x02"
+        else:
+            enc = canonical(_json.loads(js))
+            buf += b"\x01"
+            buf += len(enc).to_bytes(8, "little")
+            buf += enc
+        buf += b"\xff"
+    return "blake3:" + blake3_hex(bytes(buf))
+
+
+@lru_cache(maxsize=32)
+def _blake3_content_hash_udf(names: tuple[str, ...]):
+    @F.pandas_udf(T.StringType())
+    def udf(jsons: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                content_hash_bytes_blake3(list(zip(names, vals)))
+                for vals in jsons
+            ]
+        )
+
+    return udf
+
+
+def content_hash_col(*cols: Column, algo: str = "md5", names: tuple[str, ...] = ()) -> Column:
     """Canonical content hash over a fixed-order tuple of columns.
 
-    Fields are serialized in the given order (reference: ``over`` order,
-    content_hash.rs:24-31) with presence tags: null -> the literal tag
-    ``\\x02missing`` (content_hash.rs presence-tagged 0x01/0x02 encoding),
-    separated by 0xFF-analog '\\x7f'. JVM-side end to end.
+    md5/sha256/xxhash64: fields serialized in the given order (reference:
+    ``over`` order, content_hash.rs:24-31) with presence tags: null ->
+    the literal tag ``\\x02missing`` (content_hash.rs presence-tagged
+    0x01/0x02 encoding), separated by 0xFF-analog '\\x7f'. JVM-side end
+    to end.
+
+    blake3 (requires ``names``, the extract names in ``over`` order):
+    REFERENCE-COMPARABLE — the exact content_hash.rs byte encoding hashed
+    with the pure-Python BLAKE3 in an Arrow-batched UDF. The one hash
+    algo that costs a Python stage; rules choose it when outputs must
+    equal the reference's ``blake3:<hex>`` strings.
     """
+    if algo == "blake3":
+        if len(names) != len(cols):
+            raise ValueError("blake3 content_hash requires extract names")
+        return _blake3_content_hash_udf(tuple(names))(F.array(*cols))
     parts = []
     for c in cols:
         parts.append(

@@ -191,4 +191,6 @@ def content_hash_for_rule(
         return F.lit(None).cast("string")
     names = list(ch.over) if ch.over else sorted(e.name for e in d.extract)
     cols = [json_extracts[n] for n in names]
-    return F.when(matched, content_hash_col(*cols, algo=ch.algo))
+    return F.when(
+        matched, content_hash_col(*cols, algo=ch.algo, names=tuple(names))
+    )

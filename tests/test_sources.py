@@ -245,3 +245,36 @@ def test_dispatch_binary_formats_end_to_end(spark):
     assert got["http://x/doc.pdf"]["pdf"]["metadata"]["Title"] == "Memo"
     assert got["http://x/page.html"]["parsed"]["headings"][0]["text"] == "T"
     assert got["http://x/page.html"]["pdf"] is None
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Both sides bucketed+sorted on the join key with equal bucket
+    counts: the join plans WITHOUT an Exchange — the write-once
+    partitioning replaces every repeated join shuffle (the 100 TB
+    layout for dedup/label/revalidate joins)."""
+    from fingerprint_spark.sources.bucketed import colocated_join, write_bucketed
+
+    docs = generate_corpus(spark, 300, partitions=4).select("url", "text")
+    labels = docs.select("url", (F.length("text") % 7).alias("label"))
+    write_bucketed(docs, "b_docs", "url", 8, path=str(tmp_path / "d"))
+    write_bucketed(labels, "b_labels", "url", 8, path=str(tmp_path / "l"))
+    # at test scale the planner prefers broadcast (which bypasses the
+    # bucketed layout entirely); at 100 TB both sides are far beyond the
+    # broadcast threshold and sort-merge is the natural plan — pin it so
+    # the test exercises the at-scale shape
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = colocated_join(spark, "b_docs", "b_labels", "url")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert j.count() == 300
+        # control: the same join on UNbucketed frames does shuffle
+        plain = docs.join(labels, "url")
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plain_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_docs")
+        spark.sql("DROP TABLE IF EXISTS b_labels")

@@ -68,6 +68,7 @@ OPTIONS = [
     {"flag": "--buckets", "help": "checkpoint bucket count"},
     {"flag": "--resume", "help": "skip committed buckets"},
     {"flag": "--params-version", "help": "rule/params version tag"},
+    {"flag": "--diagnose", "help": "full-eval diagnostics for unmatched docs"},
     {"flag": "--describe", "help": "print operator descriptor JSON and exit"},
     {"flag": "--schema", "help": "print output record JSON-Schema and exit"},
     {"flag": "--list", "help": "print registered rules and exit"},
@@ -137,6 +138,13 @@ def main() -> int:
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--params-version", default="v1")
+    ap.add_argument(
+        "--diagnose",
+        action="store_true",
+        help="full-evaluation diagnostics for template-unmatched docs "
+        "(per-assertion results + nearest-heading / partial-match / "
+        "out-of-range context) written as a diagnosis column",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -173,11 +181,36 @@ def main() -> int:
 
     def stage(part):
         out = quality_filter(part, rules=rules)
-        return out.select(
+        cols = [
             "url", "warc_ts", "keep", "drop_reason", "scrubbed_text",
             "lang_detected", "ppl", "simhash", "scrub", "fingerprint",
             "child_routing", "warnings", "tool_versions",
-        )
+        ]
+        if args.diagnose:
+            # diagnose mode (src/lib.rs --diagnose analog): every root
+            # rule fully evaluated for docs the fold did NOT match, with
+            # authoring context; JSON-encoded so the output schema stays
+            # stable across rule sets
+            from pyspark.sql import functions as FF
+
+            from fingerprint_spark.operators.diagnose import diagnose_rule
+
+            env = {"url": FF.col("url"), "parsed": FF.col("parsed")}
+            diags = [
+                diagnose_rule(r, env) for r in rules if r.parent is None
+                and r.format == "html"
+            ]
+            out = out.withColumn(
+                "diagnosis",
+                FF.when(
+                    ~FF.col("fingerprint.matched"),
+                    FF.to_json(FF.struct(*[
+                        d.alias(f"rule_{i}") for i, d in enumerate(diags)
+                    ])),
+                ),
+            )
+            cols.append("diagnosis")
+        return out.select(*cols)
 
     summary = run.run(df, stage)
     metrics_total = {}

@@ -93,3 +93,36 @@ def test_cli_display_surfaces_short_circuit():
     v = run("--version", "--jobs", "nope")
     assert v.returncode == 0
     assert v.stdout.startswith("fingerprint_spark ")
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit not available"
+)
+def test_pipeline_diagnose_mode(spark, tmp_path):
+    """--diagnose adds a per-unmatched-doc diagnosis column with
+    full-evaluation context (the reference's --diagnose run mode)."""
+    corpus = str(tmp_path / "corpus")
+    out = str(tmp_path / "out")
+    write_corpus_partitioned(generate_corpus(spark, 60, partitions=2), corpus)
+    zip_path = build_pyfiles_zip(str(tmp_path / "pyfiles.zip"))
+    r = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", zip_path,
+         os.path.join(REPO, "scripts", "run_pipeline.py"),
+         "--input", corpus, "--output", out, "--buckets", "2", "--diagnose"],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert r.returncode in (0, 1), r.stderr[-2000:]
+    got = spark.read.parquet(os.path.join(out, "bucket=*"))
+    assert "diagnosis" in got.columns
+    import pyspark.sql.functions as FX
+
+    unmatched = got.filter(~FX.col("fingerprint.matched"))
+    n_unmatched = unmatched.count()
+    assert n_unmatched > 0
+    assert unmatched.filter(FX.col("diagnosis").isNotNull()).count() == n_unmatched
+    one = json.loads(unmatched.select("diagnosis").first()["diagnosis"])
+    assert any(k.startswith("rule_") for k in one)
+    r0 = one["rule_0"]
+    assert "result" in r0 and "context" in r0

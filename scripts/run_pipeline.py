@@ -126,7 +126,108 @@ def _display_surfaces(argv: list[str]) -> int | None:
     return None
 
 
+def _rule_definition_schema() -> dict:
+    """JSON Schema (draft 2020-12) of the .fp.yaml rule definition —
+    generated from the SAME parameter tables the validator enforces
+    (reference: `compile --schema`, cli_smoke_surfaces.rs:160-185 expects
+    $defs.assertion_<type> entries and a format enum)."""
+    from fingerprint_spark.dsl.model import FORMATS
+    from fingerprint_spark.dsl.validate import _REQUIRED_PARAMS
+
+    defs = {}
+    for atype, params in sorted(_REQUIRED_PARAMS.items()):
+        defs[f"assertion_{atype}"] = {
+            "type": "object",
+            "properties": {p: {} for p in params},
+            "required": list(params),
+        }
+    return {
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "title": "fingerprint_spark.rule_definition",
+        "type": "object",
+        "properties": {
+            "fingerprint_id": {"type": "string"},
+            "format": {"enum": sorted(FORMATS)},
+            "parent": {"type": "string"},
+            "valid_from": {"type": "string"},
+            "assertions": {"type": "array"},
+            "extract": {"type": "array"},
+            "content_hash": {
+                "type": "object",
+                "properties": {
+                    "algo": {"enum": ["md5", "sha256", "xxhash64", "blake3"]},
+                    "over": {"type": "array", "items": {"type": "string"}},
+                },
+            },
+        },
+        "required": ["fingerprint_id", "format", "assertions"],
+        "$defs": defs,
+    }
+
+
+def _compile_mode(argv: list[str]) -> int:
+    """`compile <rule.fp.yaml> [--check]` / `compile --schema` — the
+    reference's compile surface (src/compile/, cli_smoke_surfaces.rs).
+    --check parses + validates only; full compile also builds the
+    Catalyst expression tree (the engine's 'generated code') and prints
+    a descriptor with the rule's source_hash and the compiled match
+    expression."""
+    rest = argv[1:]
+    if "--schema" in rest:
+        print(json.dumps(_rule_definition_schema(), sort_keys=True))
+        return 0
+    paths = [a for a in rest if not a.startswith("--")]
+    if not paths:
+        print("usage: compile <rule.fp.yaml> [--check] | compile --schema",
+              file=sys.stderr)
+        return 2
+    from fingerprint_spark.dsl.parser import ParseError, parse_yaml
+    from fingerprint_spark.dsl.validate import ValidationError, validate_definition
+
+    try:
+        with open(paths[0]) as f:
+            d = parse_yaml(f.read(), source=paths[0])
+        validate_definition(d)
+    except (OSError, ParseError, ValidationError) as e:
+        print(f"compile error: {e}", file=sys.stderr)
+        return 2
+    if "--check" in rest:
+        print(f"OK {d.fingerprint_id}")
+        return 0
+    # full compile materializes the Catalyst expression tree — Column
+    # construction needs a JVM, so bring up a minimal local[1] session
+    # (--check above stays session-free for fast CI validation)
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from fingerprint_spark.dsl.compiler import compile_rule
+
+    SparkSession.builder.master("local[1]").config(
+        "spark.ui.enabled", "false"
+    ).getOrCreate()
+
+    env = {
+        "url": F.col("url"),
+        "parsed": F.col("parsed"),
+        "sheets": F.col("sheets"),
+        "pdf": F.col("pdf"),
+    }
+    col = compile_rule(d, env)
+    print(json.dumps({
+        "generated": "CompiledFingerprint",   # codegen.rs GeneratedFingerprint analog
+        "fingerprint_id": d.fingerprint_id,
+        "format": d.format,
+        "source_hash": d.source_hash,
+        "assertions": [a.name for a in d.assertions],
+        "extracts": [e.name for e in (d.extract or ())],
+        "catalyst_expression": str(col),
+    }, sort_keys=True))
+    return 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "compile":
+        return _compile_mode(sys.argv[1:])
     rc = _display_surfaces(sys.argv[1:])
     if rc is not None:
         return rc

@@ -126,3 +126,43 @@ def test_pipeline_diagnose_mode(spark, tmp_path):
     assert any(k.startswith("rule_") for k in one)
     r0 = one["rule_0"]
     assert "result" in r0 and "context" in r0
+
+
+def test_cli_compile_surface():
+    """`compile <yaml> --check` validates session-free; full compile
+    emits the CompiledFingerprint descriptor with the Catalyst
+    expression; `compile --schema` is a draft-2020-12 JSON Schema with
+    per-assertion $defs; invalid rules exit 2 (compile surface of
+    cli_smoke_surfaces.rs)."""
+    import sys
+
+    script = os.path.join(REPO, "scripts", "run_pipeline.py")
+
+    def run(*args):
+        return subprocess.run(
+            [sys.executable, script, *args], capture_output=True, text=True,
+            timeout=120,
+        )
+
+    good = os.path.join(REPO, "rules", "soi-pack.v1.fp.yaml")
+    chk = run("compile", good, "--check")
+    assert chk.returncode == 0 and chk.stdout.strip() == "OK soi-pack.v1"
+
+    sch = run("compile", "--schema")
+    assert sch.returncode == 0
+    schema = json.loads(sch.stdout)
+    assert schema["$schema"].endswith("2020-12/schema")
+    assert "html" in schema["properties"]["format"]["enum"]
+    for key in ("assertion_header_token_search", "assertion_dominant_column_count",
+                "assertion_full_width_row", "assertion_page_section_count"):
+        assert key in schema["$defs"], key
+
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".fp.yaml", delete=False) as f:
+        f.write("fingerprint_id: x.v1\nformat: html\nassertions:\n  - bogus: {}\n")
+        bad = f.name
+    r = run("compile", bad, "--check")
+    assert r.returncode == 2
+    assert "compile error" in r.stderr
+    os.unlink(bad)

@@ -142,6 +142,45 @@ def sample_centroids(
     return [[float(x) for x in r["e"]] for r in rows]
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    n_cells: int,
+    n_iter: int = 3,
+    emb_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> list[list[float]]:
+    """Lloyd-refined IVF centroids, fully DataFrame-native.
+
+    Seed = deterministic hash-sample (sample_centroids); each iteration
+    is one narrow assignment pass + one aggregation: posexplode the
+    embedding to (cell, dim, value) and average per (cell, dim) — the
+    shuffle carries (int, int, double) triples, never whole vectors.
+    Only the (n_cells x dim) centroid matrix ever reaches the driver.
+    Empty cells keep their previous centroid (standard Lloyd handling)."""
+    cents = sample_centroids(df, n_cells, emb_col, key_col)
+    dim = len(cents[0]) if cents else 0
+    for _ in range(n_iter):
+        assigned = ivf_assign(df, cents, emb_col)
+        means = (
+            assigned.select(
+                "cell", F.posexplode(F.col(emb_col)).alias("dim", "val")
+            )
+            .groupBy("cell", "dim")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        seen = set()
+        for r in means:
+            new[r["cell"]][r["dim"]] = float(r["m"])
+            seen.add(r["cell"])
+        cents = [
+            new[i] if i in seen else list(cents[i]) for i in range(len(cents))
+        ]
+        assert all(len(c) == dim for c in cents)
+    return cents
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: list[list[float]],

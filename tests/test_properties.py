@@ -141,3 +141,39 @@ def test_minhash_jaccard_estimate_sane(words):
     b = " ".join(["zebra", "xylophone", "quartz"] * 10)
     est = sum(x == y for x, y in zip(s1, minhash_signature_py(b, 32))) / 32
     assert est <= 0.2
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(alphabet="ABCdef123 _-", min_size=1, max_size=12).map(str.strip).filter(bool),
+        st.lists(
+            st.lists(
+                st.text(alphabet=st.characters(blacklist_categories=("Cs", "Cc")), max_size=20),
+                min_size=1, max_size=5,
+            ),
+            min_size=1, max_size=6,
+        ),
+        min_size=1, max_size=3,
+    )
+)
+def test_xlsx_roundtrip_property(sheets):
+    """make_xlsx -> xlsx_to_sheets roundtrips arbitrary grids: values
+    survive verbatim, grids come back dense (rows padded to max width)."""
+    from fingerprint_spark.sources.xlsx import make_xlsx, xlsx_to_sheets
+
+    got = xlsx_to_sheets(make_xlsx(sheets))
+    assert set(got) == set(sheets)
+    for name, grid in sheets.items():
+        width = max(len(r) for r in grid)
+        # the writer emits cells only for non-empty values; a row of all
+        # empties yields no cells — trailing all-empty rows disappear
+        want = [r + [""] * (width - len(r)) for r in grid]
+        while want and all(c == "" for c in want[-1]):
+            want.pop()
+        trimmed_width = max(
+            (max((i + 1 for i, c in enumerate(r) if c != ""), default=0) for r in want),
+            default=0,
+        )
+        want = [r[:trimmed_width] for r in want]
+        assert got[name] == want, (name, grid, got[name])

@@ -72,7 +72,7 @@ def test_pack_rules_parse_validate_and_register(registry):
     and orphan checks included) — bdc_rule_files_parse_validate analog."""
     got = {r.fingerprint_id for r in registry.list()}
     assert set(PACK_IDS) <= got
-    assert "rent-roll.v1" in got
+    assert "maint-log.v1" in got
     resolved = registry.resolve(PACK_IDS)
     assert [r.fingerprint_id for r in resolved] == PACK_IDS
 
@@ -141,9 +141,9 @@ def test_diagnose_mismatch_keeps_sibling_payloads(spark, registry):
 def test_hash_pair_triplets(spark, registry):
     """Content-hash stability: base == markup-variant (spans/sections/
     tbody wrappers normalize away), value-change differs (the text_match
-    capture moves from 5.25% to 5.75%). Extracted text is byte-identical
+    capture moves from 3.75% to 4.25%). Extracted text is byte-identical
     between base and markup variant."""
-    rules = registry.resolve(["rent-roll.v1"])
+    rules = registry.resolve(["maint-log.v1"])
     ids = ["hash_pair_base", "hash_pair_markup_variant", "hash_pair_value_change"]
     out = _match_df(spark, rules, ids, with_extracts=True)
     rows = {

@@ -184,23 +184,23 @@ def test_blake3_rule_hash_pairs_end_to_end(spark):
     from fingerprint_spark.parse import parse_html_col
 
     rule = parse_yaml("""
-fingerprint_id: rent-roll-b3.v1
+fingerprint_id: maint-log-b3.v1
 format: html
 assertions:
   - heading_exists:
-      text: "Rent Roll"
+      text: "Maintenance Log"
 extract:
-  - name: income
+  - name: downtime
     section:
-      heading_pattern: "(?i)^income capitalization$"
-  - name: caprate
+      heading_pattern: "(?i)^downtime summary$"
+  - name: ratio
     text_match:
-      anchor: "Cap rate is"
+      anchor: "Downtime ratio is"
       value: "[0-9]+\\\\.[0-9]+%"
       within_chars: 40
 content_hash:
   algo: blake3
-  over: [income, caprate]
+  over: [downtime, ratio]
 """)
     fix = os.path.join(os.path.dirname(__file__), "fixtures", "html")
     rows = [

@@ -69,6 +69,8 @@ OPTIONS = [
     {"flag": "--resume", "help": "skip committed buckets"},
     {"flag": "--params-version", "help": "rule/params version tag"},
     {"flag": "--diagnose", "help": "full-eval diagnostics for unmatched docs"},
+    {"flag": "--fp", "help": "select fingerprint rules by id (repeatable)"},
+    {"flag": "--no-witness", "help": "skip the witness ledger append"},
     {"flag": "--describe", "help": "print operator descriptor JSON and exit"},
     {"flag": "--schema", "help": "print output record JSON-Schema and exit"},
     {"flag": "--list", "help": "print registered rules and exit"},
@@ -246,6 +248,18 @@ def main() -> int:
         "(per-assertion results + nearest-heading / partial-match / "
         "out-of-range context) written as a diagnosis column",
     )
+    ap.add_argument(
+        "--fp",
+        action="append",
+        default=None,
+        metavar="ID",
+        help="select specific fingerprint rules in order (repeatable); "
+        "requesting a child without its parent refuses with "
+        "E_ORPHAN_CHILD (reference --fp semantics)",
+    )
+    ap.add_argument(
+        "--no-witness", action="store_true", help="skip the witness ledger append"
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -267,7 +281,16 @@ def main() -> int:
         registry = Registry.load_dir(args.rules_dir)
     else:
         registry = Registry(builtin_rules())
-    rules = registry.list()
+    if args.fp:
+        from fingerprint_spark.dsl.registry import RegistryError
+
+        try:
+            rules = registry.resolve(args.fp)
+        except RegistryError as e:
+            print(f"rule selection error: {e}", file=sys.stderr)
+            return 2
+    else:
+        rules = registry.list()
 
     df = read_corpus(spark, args.input, day=args.day)
 
@@ -320,17 +343,18 @@ def main() -> int:
             metrics_total[k] = metrics_total.get(k, 0) + (v or 0)
 
     outcome = "OK" if summary["complete"] else "PARTIAL"
-    append_witness(
-        tool="run_pipeline",
-        inputs={"input": args.input, "day": args.day},
-        params={
-            "rules": [r.fingerprint_id for r in rules],
-            "buckets": args.buckets,
-            "params_version": args.params_version,
-        },
-        outcome=outcome,
-        exit_code=0 if summary["complete"] else 1,
-    )
+    if not args.no_witness:
+        append_witness(
+            tool="run_pipeline",
+            inputs={"input": args.input, "day": args.day},
+            params={
+                "rules": [r.fingerprint_id for r in rules],
+                "buckets": args.buckets,
+                "params_version": args.params_version,
+            },
+            outcome=outcome,
+            exit_code=0 if summary["complete"] else 1,
+        )
     print(
         json.dumps(
             {

@@ -166,3 +166,34 @@ def test_cli_compile_surface():
     assert r.returncode == 2
     assert "compile error" in r.stderr
     os.unlink(bad)
+
+
+def test_cli_fp_selection_and_orphan_refusal(spark, tmp_path):
+    """--fp selects rules in CLI order; a child requested without its
+    parent refuses with E_ORPHAN_CHILD exit 2 (reference --fp semantics).
+    Runs through plain python (same entry point) for speed."""
+    import sys
+
+    corpus = str(tmp_path / "corpus")
+    write_corpus_partitioned(generate_corpus(spark, 40, partitions=2), corpus)
+    script = os.path.join(REPO, "scripts", "run_pipeline.py")
+
+    r = subprocess.run(
+        [sys.executable, script, "--input", corpus,
+         "--output", str(tmp_path / "o1"), "--buckets", "1",
+         "--rules-dir", os.path.join(REPO, "rules"),
+         "--fp", "soi-pack-alder.v1", "--no-witness"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 2
+    assert "E_ORPHAN_CHILD" in r.stderr
+
+    r2 = subprocess.run(
+        [sys.executable, script, "--input", corpus,
+         "--output", str(tmp_path / "o2"), "--buckets", "1",
+         "--fp", "spam_pharma.v1", "--fp", "spam_cta.v1", "--no-witness"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r2.returncode == 0, r2.stderr[-1500:]
+    summary = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert summary["outcome"] == "OK"

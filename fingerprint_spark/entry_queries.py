@@ -1011,3 +1011,49 @@ FROM documents
 
 
 ORACLE_QUERIES.update({"xlsx_grid": (q_xlsx_grid, sql_xlsx_grid)})
+
+
+def q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (exact near-dup clustering), oracle-checked:
+    a deterministic chain graph over doc_ids — edge (d, d+1) whenever
+    d % 10 < 3 and d+1 exists, giving 4-node chains whose transitive
+    closure is non-trivial — resolved by the large-star/small-star
+    operator; every node labeled with its component minimum (singletons
+    label themselves). The DuckDB oracle recomputes components with a
+    recursive CTE (min reachable id)."""
+    from .operators.components import connected_components
+
+    df = _doc(spark, sf_dir).select("doc_id")
+    pairs = (
+        df.select(F.col("doc_id").alias("key_a"))
+        .filter((F.col("key_a") % 10) < 3)
+        .join(
+            df.select(F.col("doc_id").alias("key_b")),
+            F.col("key_b") == F.col("key_a") + 1,
+        )
+    )
+    cc = connected_components(pairs)
+    return df.join(cc, df.doc_id == cc.node, "left").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.coalesce("component", "doc_id").cast("bigint").alias("component"),
+    )
+
+
+def sql_cc_components() -> str:
+    return """
+WITH RECURSIVE
+e AS (
+  SELECT a.doc_id AS a, a.doc_id + 1 AS b
+  FROM documents a JOIN documents n ON n.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 10 < 3),
+edges AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+reach(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT edges.b, reach.comp FROM reach JOIN edges ON edges.a = reach.node)
+SELECT node::bigint AS doc_id, min(comp)::bigint AS component
+FROM reach GROUP BY node
+"""
+
+
+ORACLE_QUERIES.update({"cc_components": (q_cc_components, sql_cc_components)})

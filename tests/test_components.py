@@ -1,0 +1,60 @@
+"""Connected-components dedup: exact transitive closure over candidate
+pairs (large-star/small-star), vs the one-pass min-key approximation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fingerprint_spark.operators.components import (
+    connected_components,
+    dedup_connected,
+)
+
+
+def _cc(spark, edges):
+    pairs = spark.createDataFrame(edges, ["key_a", "key_b"])
+    rows = connected_components(pairs).collect()
+    comp = {}
+    for r in rows:
+        comp[r["node"]] = min(comp.get(r["node"], r["component"]), r["component"])
+        comp.setdefault(r["component"], r["component"])
+    return comp
+
+
+def test_chain_collapses_to_one_component(spark):
+    """A duplicate CHAIN a~b~c~d~e (no direct a~e pair) is ONE component
+    rooted at the minimum — the case the one-pass key_b policy gets
+    direction-dependent."""
+    comp = _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert {comp[n] for n in (1, 2, 3, 4, 5)} == {1}
+
+
+def test_multiple_components_and_determinism(spark):
+    edges = [(10, 11), (11, 12), (20, 21), (30, 31), (31, 32), (32, 30)]
+    comp1 = _cc(spark, edges)
+    comp2 = _cc(spark, list(reversed(edges)))
+    assert comp1 == comp2
+    assert comp1[12] == 10 and comp1[21] == 20 and comp1[32] == 30
+
+
+def test_long_path_converges_within_logarithmic_rounds(spark):
+    """A 64-node path (worst diameter shape) still converges: star
+    contraction is O(log^2 n) rounds, not O(diameter)."""
+    comp = _cc(spark, [(i, i + 1) for i in range(64)])
+    assert {comp[n] for n in range(65)} == {0}
+
+
+def test_dedup_connected_keeps_component_minimum(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text{i}") for i in range(8)], ["url", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (2, 6)], ["key_a", "key_b"]
+    )
+    kept = {r["url"] for r in dedup_connected(docs, pairs).collect()}
+    # component {0,3,5} -> keep 0; {2,6} -> keep 2; singletons survive
+    assert kept == {0, 1, 2, 4, 7}
+
+
+def test_string_keys(spark):
+    comp = _cc(spark, [("b", "c"), ("a", "b")])
+    assert comp["c"] == "a" and comp["b"] == "a"

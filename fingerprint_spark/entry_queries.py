@@ -1057,3 +1057,80 @@ FROM reach GROUP BY node
 
 
 ORACLE_QUERIES.update({"cc_components": (q_cc_components, sql_cc_components)})
+
+
+# GPT-2-style BPE pre-tokenization (contraction pieces, letter runs,
+# digit runs, punct runs, whitespace runs) — written to be valid in BOTH
+# Java regex (Spark) and RE2 (DuckDB): unicode categories, no lookarounds
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (the training-data tokenizer shape): count
+    of GPT-2-style pre-tokenization pieces per doc, JVM-side regex."""
+    df = _doc(spark, sf_dir)
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_SPLIT_RE), F.lit(0))
+    return df.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_bpe_pieces"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique_pieces"),
+    )
+
+
+def sql_token_bpe() -> str:
+    pat = BPE_SPLIT_RE.replace("'", "''")  # SQL string-literal escaping
+    return f"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '{pat}'))::bigint AS n_bpe_pieces,
+  len(list_distinct(regexp_extract_all(text, '{pat}')))::bigint
+    AS n_unique_pieces
+FROM documents
+"""
+
+
+ORACLE_QUERIES.update({"token_bpe": (q_token_bpe, sql_token_bpe)})
+
+
+def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, oracle-checkable form: all (a < b) pairs with
+    rounded cosine >= 0.5 among the first 120 vectors (exact verify
+    semantics of embedding_near_dup; the LSH candidate stage is
+    plane-literal-dependent and covered by pytest instead)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 120
+    )
+    a = emb.select(F.col("vec_id").alias("ka"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("kb"), F.col("embedding").alias("eb"))
+    from .operators.dedup import _cosine
+
+    pairs = a.join(F.broadcast(b), F.col("ka") < F.col("kb")).select(
+        "ka", "kb", F.round(_cosine(F.col("ea"), F.col("eb")), 4).alias("c"),
+    )
+    return pairs.filter(F.col("c") >= 0.5).select(
+        F.col("ka").cast("bigint").alias("key_a"),
+        F.col("kb").cast("bigint").alias("key_b"),
+        (F.col("c") * 10000).cast("bigint").alias("cosine_e4"),
+    )
+
+
+def sql_cosine_pairs() -> str:
+    return """
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 120),
+p AS (
+  SELECT a.vec_id AS key_a, b.vec_id AS key_b,
+    round(
+      list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                              x -> x[1]::double * x[2]::double))
+      / greatest(
+          sqrt(list_sum(list_transform(a.embedding, v -> v::double * v::double)))
+          * sqrt(list_sum(list_transform(b.embedding, v -> v::double * v::double))),
+          1e-12),
+      4) AS c
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT key_a::bigint AS key_a, key_b::bigint AS key_b,
+       (c * 10000)::bigint AS cosine_e4
+FROM p WHERE c >= 0.5
+"""
+
+
+ORACLE_QUERIES.update({"cosine_pairs": (q_cosine_pairs, sql_cosine_pairs)})

@@ -71,6 +71,8 @@ OPTIONS = [
     {"flag": "--diagnose", "help": "full-eval diagnostics for unmatched docs"},
     {"flag": "--fp", "help": "select fingerprint rules by id (repeatable)"},
     {"flag": "--no-witness", "help": "skip the witness ledger append"},
+    {"flag": "--keep-parsed", "help": "persist parsed structs for --revalidate"},
+    {"flag": "--revalidate", "help": "incremental re-validation over stored parsed structs"},
     {"flag": "--describe", "help": "print operator descriptor JSON and exit"},
     {"flag": "--schema", "help": "print output record JSON-Schema and exit"},
     {"flag": "--list", "help": "print registered rules and exit"},
@@ -260,6 +262,20 @@ def main() -> int:
     ap.add_argument(
         "--no-witness", action="store_true", help="skip the witness ledger append"
     )
+    ap.add_argument(
+        "--keep-parsed",
+        action="store_true",
+        help="persist the parsed struct in the output (enables later "
+        "--revalidate passes without re-parsing the crawl)",
+    )
+    ap.add_argument(
+        "--revalidate",
+        action="store_true",
+        help="input is a PREVIOUS run's output carrying the parsed "
+        "struct: apply the (new) rule set as a pure expression pass — "
+        "no html parse, no Python stage (north_star incremental "
+        "re-validation)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -292,7 +308,15 @@ def main() -> int:
     else:
         rules = registry.list()
 
-    df = read_corpus(spark, args.input, day=args.day)
+    if args.revalidate:
+        df = spark.read.parquet(args.input)
+        if "parsed" not in df.columns:
+            sys.exit(
+                "--revalidate needs an input produced with --keep-parsed "
+                "(no 'parsed' column found)"
+            )
+    else:
+        df = read_corpus(spark, args.input, day=args.day)
 
     run = CheckpointedRun(
         args.output, n_buckets=args.buckets, params_hash=args.params_version
@@ -304,12 +328,24 @@ def main() -> int:
         )
 
     def stage(part):
+        if args.revalidate:
+            from fingerprint_spark.pipeline import revalidate
+
+            out = revalidate(part, rules)
+            keep = ["url", "fingerprint", "children", "child_routing"]
+            if "warc_ts" in part.columns:
+                keep.insert(1, "warc_ts")
+            if args.keep_parsed:
+                keep.append("parsed")
+            return out.select(*keep)
         out = quality_filter(part, rules=rules)
         cols = [
             "url", "warc_ts", "keep", "drop_reason", "scrubbed_text",
             "lang_detected", "ppl", "simhash", "scrub", "fingerprint",
             "child_routing", "warnings", "tool_versions",
         ]
+        if args.keep_parsed:
+            cols.append("parsed")
         if args.diagnose:
             # diagnose mode (src/lib.rs --diagnose analog): every root
             # rule fully evaluated for docs the fold did NOT match, with

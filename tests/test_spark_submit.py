@@ -197,3 +197,49 @@ def test_cli_fp_selection_and_orphan_refusal(spark, tmp_path):
     assert r2.returncode == 0, r2.stderr[-1500:]
     summary = json.loads(r2.stdout.strip().splitlines()[-1])
     assert summary["outcome"] == "OK"
+
+
+def test_cli_revalidate_over_stored_parsed(spark, tmp_path):
+    """--keep-parsed persists parsed structs; --revalidate applies a new
+    rule set over them with no re-parse (north_star incremental
+    re-validation through the deployment entry point)."""
+    import sys
+
+    corpus = str(tmp_path / "corpus")
+    out1 = str(tmp_path / "out1")
+    out2 = str(tmp_path / "out2")
+    write_corpus_partitioned(generate_corpus(spark, 300, partitions=2), corpus)
+    script = os.path.join(REPO, "scripts", "run_pipeline.py")
+
+    r1 = subprocess.run(
+        [sys.executable, script, "--input", corpus, "--output", out1,
+         "--buckets", "1", "--keep-parsed", "--no-witness"],
+        capture_output=True, text=True, timeout=400,
+    )
+    assert r1.returncode in (0, 1), r1.stderr[-1500:]
+
+    # write new-version rules to a fresh dir
+    rules_dir = str(tmp_path / "rules")
+    os.makedirs(rules_dir)
+    with open(os.path.join(rules_dir, "spamv2.fp.yaml"), "w") as f:
+        f.write(
+            "fingerprint_id: spam_any.v2\nformat: html\nassertions:\n"
+            "  - text_regex:\n"
+            "      pattern: \"(?i)(buy cheap|casino|replica watches|weight loss)\"\n"
+        )
+    r2 = subprocess.run(
+        [sys.executable, script, "--input", os.path.join(out1, "bucket=*"),
+         "--output", out2, "--buckets", "1", "--revalidate",
+         "--rules-dir", rules_dir, "--fp", "spam_any.v2", "--no-witness"],
+        capture_output=True, text=True, timeout=400,
+    )
+    assert r2.returncode in (0, 1), r2.stderr[-1500:]
+    got = spark.read.parquet(os.path.join(out2, "bucket=*"))
+    n_match = got.filter("fingerprint.matched").count()
+    assert n_match > 0
+    assert (
+        got.filter("fingerprint.matched")
+        .filter("fingerprint.fingerprint_id = 'spam_any.v2'")
+        .count()
+        == n_match
+    )

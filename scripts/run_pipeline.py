@@ -229,9 +229,71 @@ def _compile_mode(argv: list[str]) -> int:
     return 0
 
 
+def _witness_mode(argv: list[str]) -> int:
+    """`witness query|last|count [--tool --outcome --since --until
+    --input-hash]` — the reference's witness CLI (src/cli/args.rs witness
+    subcommands, src/witness/query.rs:13-119). The ledger is a small
+    driver-side JSONL; no SparkSession needed for the CLI surface."""
+    from fingerprint_spark.witness import ledger_path
+
+    if len(argv) < 2 or argv[1] not in ("query", "last", "count"):
+        print("usage: witness query|last|count [--tool T] [--outcome O] "
+              "[--since TS] [--until TS] [--input-hash H]", file=sys.stderr)
+        return 2
+    action = argv[1]
+    opts: dict[str, str] = {}
+    rest = argv[2:]
+    i = 0
+    while i < len(rest):
+        a = rest[i]
+        if a == "--json":  # output is always JSON lines; accepted for parity
+            i += 1
+            continue
+        if a.startswith("--") and i + 1 < len(rest):
+            opts[a[2:].replace("-", "_")] = rest[i + 1]
+            i += 2
+        else:
+            print(f"witness: unknown/incomplete option {a}", file=sys.stderr)
+            return 2
+    path = opts.pop("path", None) or ledger_path()
+    records = []
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    records.append(json.loads(line))
+
+    def keep(r: dict) -> bool:
+        if "tool" in opts and r.get("tool") != opts["tool"]:
+            return False
+        if "outcome" in opts and r.get("outcome") != opts["outcome"]:
+            return False
+        if "since" in opts and not (r.get("ts", "") >= opts["since"]):
+            return False
+        if "until" in opts and not (r.get("ts", "") <= opts["until"]):
+            return False
+        if "input_hash" in opts and r.get("input_hash") != opts["input_hash"]:
+            return False
+        return True
+
+    matched = sorted((r for r in records if keep(r)), key=lambda r: r.get("ts", ""))
+    if action == "count":
+        print(len(matched))
+    elif action == "last":
+        if matched:
+            print(json.dumps(matched[-1], sort_keys=True))
+    else:
+        for r in matched:
+            print(json.dumps(r, sort_keys=True))
+    return 0
+
+
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "compile":
         return _compile_mode(sys.argv[1:])
+    if len(sys.argv) > 1 and sys.argv[1] == "witness":
+        return _witness_mode(sys.argv[1:])
     rc = _display_surfaces(sys.argv[1:])
     if rc is not None:
         return rc

@@ -243,3 +243,42 @@ def test_cli_revalidate_over_stored_parsed(spark, tmp_path):
         .count()
         == n_match
     )
+
+
+def test_cli_witness_surface(tmp_path):
+    """witness query|last|count over the JSONL ledger with tool/outcome/
+    since filters (reference witness subcommands) — no SparkSession."""
+    import sys
+
+    from fingerprint_spark.witness import append_witness
+
+    ledger = str(tmp_path / "w.jsonl")
+    append_witness("run_pipeline", {"input": "a"}, {}, "OK", path=ledger)
+    append_witness("run_pipeline", {"input": "b"}, {}, "PARTIAL", path=ledger)
+    append_witness("other_tool", {"input": "c"}, {}, "OK", path=ledger)
+
+    script = os.path.join(REPO, "scripts", "run_pipeline.py")
+    env = dict(os.environ, FINGERPRINT_SPARK_WITNESS=ledger)
+
+    def run(*args):
+        return subprocess.run(
+            [sys.executable, script, "witness", *args],
+            capture_output=True, text=True, timeout=60, env=env,
+        )
+
+    c = run("count")
+    assert c.returncode == 0 and c.stdout.strip() == "3"
+    c2 = run("count", "--tool", "run_pipeline")
+    assert c2.stdout.strip() == "2"
+    c3 = run("count", "--outcome", "PARTIAL")
+    assert c3.stdout.strip() == "1"
+
+    last = json.loads(run("last", "--tool", "other_tool", "--json").stdout)
+    assert last["tool"] == "other_tool" and last["inputs"]["input"] == "c"
+
+    q = run("query", "--tool", "run_pipeline")
+    lines = [json.loads(l) for l in q.stdout.strip().splitlines()]
+    assert [r["outcome"] for r in lines] == ["OK", "PARTIAL"]
+
+    bad = run("bogus")
+    assert bad.returncode == 2

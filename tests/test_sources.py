@@ -278,3 +278,55 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_docs")
         spark.sql("DROP TABLE IF EXISTS b_labels")
+
+
+def test_manifest_reader_validation_ladder(spark, tmp_path):
+    """hash.v0 manifest validation (reader.rs:59-178): good lines parse;
+    invalid json / missing-unknown-mistyped version / missing bytes_hash
+    (unless _skipped) / mistyped text_path are refused with the reference
+    reasons; strict mode fail-fasts, lenient mode quarantines."""
+    import json as _json
+
+    from fingerprint_spark.sources.manifest import read_manifest
+
+    good = {
+        "version": "hash.v0", "path": "/x/a.html", "extension": ".html",
+        "bytes_hash": "blake3:aa", "tool_versions": {"hash": "0.1.0"},
+    }
+    skipped = {"version": "hash.v0", "path": "/x/b.html", "_skipped": True}
+    lines = [
+        _json.dumps(good),
+        "",
+        _json.dumps(skipped),
+        "{not json",
+        _json.dumps({"path": "/x/c.html", "bytes_hash": "h"}),              # no version
+        _json.dumps({"version": "hash.v9", "bytes_hash": "h"}),             # unknown
+        _json.dumps({"version": 7, "bytes_hash": "h"}),                     # mistyped
+        _json.dumps({"version": "hash.v0", "path": "/x/d.html"}),           # no bytes_hash
+        _json.dumps({"version": "hash.v0", "bytes_hash": "h", "text_path": 3}),
+    ]
+    p = str(tmp_path / "manifest.jsonl")
+    with open(p, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    out = read_manifest(spark, p, strict=False)
+    rows = {r["line"]: r["refusal"] for r in out.collect()}
+    assert rows[lines[0]] is None
+    assert rows[lines[2]] is None                      # _skipped: bytes_hash waived
+    assert rows["{not json"] == "E_BAD_INPUT:invalid_json"
+    assert rows[lines[4]] == "E_BAD_INPUT:missing_field:version"
+    assert rows[lines[5]] == "E_BAD_INPUT:unknown_version:hash.v9"
+    assert rows[lines[6]] == "E_BAD_INPUT:invalid_field_type:version"
+    assert rows[lines[7]] == "E_BAD_INPUT:missing_field:bytes_hash"
+    assert rows[lines[8]] == "E_BAD_INPUT:invalid_field_type:text_path"
+
+    with pytest.raises(ValueError, match="manifest validation failed"):
+        read_manifest(spark, p, strict=True)
+
+    ok_path = str(tmp_path / "ok.jsonl")
+    with open(ok_path, "w") as f:
+        f.write(_json.dumps(good) + "\n" + _json.dumps(skipped) + "\n")
+    ok = read_manifest(spark, ok_path, strict=True)
+    got = {r["path"]: r for r in ok.collect()}
+    assert got["/x/a.html"]["bytes_hash"] == "blake3:aa"
+    assert got["/x/b.html"]["skipped"] is True

@@ -90,6 +90,27 @@ def validate_definition(d: FingerprintDefinition) -> None:
         level = a.param("level")
         if a.type == "heading_level" and not (1 <= int(level) <= 6):
             raise ValidationError("E_INVALID_YAML", "heading_level must be 1-6")
+        # A1/range format checks: refuse at rule validation with a clean
+        # code instead of a raw error at expression-compile time (the
+        # reference's eval path tolerates these as non-matches; a
+        # compiled-expression engine must reject them before broadcast)
+        import re as _re
+
+        _a1 = r"[A-Za-z]+[0-9]+"
+        if a.type in ("cell_eq", "cell_regex", "sum_eq", "within_tolerance"):
+            cell = a.param("cell")
+            if cell is not None and not _re.fullmatch(_a1, str(cell)):
+                raise ValidationError(
+                    "E_INVALID_YAML", f"assertion {a.name}: bad A1 cell {cell!r}"
+                )
+        if a.type in ("range_non_null", "range_populated", "sum_eq"):
+            rng = a.param("range")
+            if rng is not None and not _re.fullmatch(
+                f"{_a1}:{_a1}", str(rng)
+            ):
+                raise ValidationError(
+                    "E_INVALID_YAML", f"assertion {a.name}: bad A1 range {rng!r}"
+                )
     extract_names = {e.name for e in d.extract}
     if len(extract_names) != len(d.extract):
         raise ValidationError("E_INVALID_YAML", "duplicate extract names")

@@ -49,11 +49,18 @@ def parse_by_format(
     url_col: str = "url",
     csv_fallback: bool = True,
     binary_formats: bool = False,
+    text_col: str | None = None,
 ) -> DataFrame:
     """Add format + per-format parsed views:
 
     - ``format``: detected from the url extension
-    - ``parsed``: structured view for html/markdown/text rows
+    - ``parsed``: structured view for html/markdown/text rows; for pdf
+      rows with ``text_col`` (the text_path mechanism, mod.rs:83-86:
+      pre-extracted markdown evaluated with the content assertion
+      family), the markdown parse of that column
+    - ``refusal``: ``E_NO_TEXT`` for pdf rows with no text content when
+      a text_col is configured (assertions.rs:1744-1774 — content
+      assertions on a pdf need text_path; a refusal, never a crash)
     - ``sheets``: grid view for csv rows (and the csv-text fallback view
       for txt/tsv rows when csv_fallback is on); with binary_formats,
       also the decoded grid for xlsx rows (stdlib zip+XML codec)
@@ -71,6 +78,19 @@ def parse_by_format(
             parse_markdown_col(content),  # text: lines view via md parser
         )
     )
+    if text_col is not None:
+        tp = F.col(text_col)
+        parsed = parsed.when(
+            (F.col("format") == "pdf") & tp.isNotNull(),
+            parse_markdown_col(tp),
+        )
+        df = df.withColumn(
+            "refusal",
+            F.when(
+                (detect_format(F.col(url_col)) == "pdf") & tp.isNull(),
+                F.lit("E_NO_TEXT"),
+            ),
+        )
     df = df.withColumn("parsed", parsed)
     sheets_cond = F.col("format") == "csv"
     if csv_fallback:

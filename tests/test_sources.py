@@ -330,3 +330,36 @@ def test_manifest_reader_validation_ladder(spark, tmp_path):
     got = {r["path"]: r for r in ok.collect()}
     assert got["/x/a.html"]["bytes_hash"] == "blake3:aa"
     assert got["/x/b.html"]["skipped"] is True
+
+
+def test_pdf_text_path_mechanism_and_e_no_text(spark):
+    """pdf rows with a text column parse it as markdown (the text_path
+    mechanism: content assertions run over pre-extracted text,
+    mod.rs:83-86); pdf rows WITHOUT text refuse with E_NO_TEXT
+    (assertions.rs:1744-1774) rather than crash or silently pass."""
+    rows = [
+        ("http://x/rpt.pdf", b"%PDF-fake", "# Findings\n\nRevenue grew."),
+        ("http://x/scan.pdf", b"%PDF-fake", None),
+        ("http://x/page.html", b"<html><body><h1>T</h1></body></html>", None),
+    ]
+    df = spark.createDataFrame(
+        [(u, bytearray(c), t) for u, c, t in rows],
+        "url string, html binary, text string",
+    )
+    out = parse_by_format(df, text_col="text")
+    got = {r["url"]: r for r in out.collect()}
+    pdf = got["http://x/rpt.pdf"]
+    assert pdf["refusal"] is None
+    assert pdf["parsed"]["headings"][0]["text"] == "Findings"
+    # content assertion family over the text_path view
+    env = {"parsed": F.col("parsed")}
+    a = make_assertion("text_contains", "t", {"value": "Revenue grew."})
+    ok = (
+        out.filter(F.col("url") == "http://x/rpt.pdf")
+        .select(compile_assertion(a, env).alias("r"))
+        .first()["r"]
+    )
+    assert ok is True
+    assert got["http://x/scan.pdf"]["refusal"] == "E_NO_TEXT"
+    assert got["http://x/scan.pdf"]["parsed"] is None
+    assert got["http://x/page.html"]["refusal"] is None

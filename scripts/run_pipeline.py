@@ -289,11 +289,65 @@ def _witness_mode(argv: list[str]) -> int:
     return 0
 
 
+def _infer_mode(argv: list[str]) -> int:
+    """`infer <corpus.parquet> --id ID [--format html] [--min-confidence
+    F] [--content-col html]` — mine candidate assertions from a corpus
+    and print a deterministic .fp.yaml (reference infer subcommand,
+    tests/infer_subcommand.rs; input is a parquet corpus rather than a
+    file directory — the Spark-native shape)."""
+    paths = [a for a in argv[1:] if not a.startswith("--")]
+    if not paths:
+        print("usage: infer <corpus.parquet> --id ID [--format html] "
+              "[--min-confidence F] [--content-col html]", file=sys.stderr)
+        return 2
+    opts: dict[str, str] = {}
+    it = iter(argv[1:])
+    for a in it:
+        if a.startswith("--"):
+            opts[a[2:].replace("-", "_")] = next(it, "")
+    if "id" not in opts:
+        print("infer: --id required", file=sys.stderr)
+        return 2
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from fingerprint_spark.operators.infer import infer_rule
+    from fingerprint_spark.parse import parse_html_col
+
+    spark = SparkSession.builder.master(
+        os.environ.get("SPARK_GRAFT_MASTER", "local[8]")
+    ).config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    from fingerprint_spark.deploy import ensure_pyfiles
+
+    ensure_pyfiles(spark)
+    content_col = opts.get("content_col", "html")
+    df = spark.read.parquet(paths[0])
+    parsed = df.select(
+        F.col("url"),
+        parse_html_col(F.col(content_col).cast("string")).alias("parsed"),
+    )
+    try:
+        _d, text = infer_rule(
+            parsed,
+            opts["id"],
+            opts.get("format", "html"),
+            float(opts.get("min_confidence", "0.8")),
+        )
+    except ValueError as e:
+        print(f"infer error: {e}", file=sys.stderr)
+        return 1
+    print(text, end="")
+    return 0
+
+
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "compile":
         return _compile_mode(sys.argv[1:])
     if len(sys.argv) > 1 and sys.argv[1] == "witness":
         return _witness_mode(sys.argv[1:])
+    if len(sys.argv) > 1 and sys.argv[1] == "infer":
+        return _infer_mode(sys.argv[1:])
     rc = _display_surfaces(sys.argv[1:])
     if rc is not None:
         return rc

@@ -282,3 +282,44 @@ def test_cli_witness_surface(tmp_path):
 
     bad = run("bogus")
     assert bad.returncode == 2
+
+
+def test_cli_infer_emits_parseable_yaml(spark, tmp_path):
+    """`infer <corpus> --id X` mines candidate assertions and prints a
+    deterministic, parseable + validated .fp.yaml (infer_subcommand.rs
+    analog; same corpus => byte-identical output)."""
+    import sys
+
+    # homogeneous mini-corpus: same structure across docs
+    rows = [
+        (f"http://x/r{i}.html",
+         bytearray(
+             f"<html><body><h1>Weekly Report</h1><h2>Summary</h2>"
+             f"<p>week {i} content line.</p></body></html>".encode()
+         ))
+        for i in range(12)
+    ]
+    corpus = str(tmp_path / "c")
+    spark.createDataFrame(rows, "url string, html binary").write.parquet(corpus)
+    script = os.path.join(REPO, "scripts", "run_pipeline.py")
+
+    def run():
+        return subprocess.run(
+            [sys.executable, script, "infer", corpus, "--id", "weekly.v1",
+             "--min-confidence", "0.8"],
+            capture_output=True, text=True, timeout=300,
+        )
+
+    r1 = run()
+    assert r1.returncode == 0, r1.stderr[-1500:]
+    import yaml as _yaml
+
+    from fingerprint_spark.dsl.parser import parse_yaml as _parse
+    from fingerprint_spark.dsl.validate import validate_definition
+
+    d = _parse(r1.stdout, source="inferred")
+    validate_definition(d)
+    assert d.fingerprint_id == "weekly.v1"
+    assert len(d.assertions) >= 1
+    r2 = run()
+    assert r2.stdout == r1.stdout  # deterministic emission

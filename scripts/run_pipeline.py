@@ -93,7 +93,7 @@ def _display_surfaces(argv: list[str]) -> int | None:
             "schema_version": "spark-operator.v0",
             "capabilities": {
                 "formats": ["html", "markdown", "text", "csv", "xlsx", "pdf"],
-                "modes": ["run", "resume"],
+                "modes": ["run", "resume", "revalidate", "diagnose", "compile", "infer", "witness"],
             },
             "pipeline": [
                 "parse", "template_match", "langid", "perplexity",

@@ -85,13 +85,14 @@ def test_ngram_jaccard_verify(docs, spark):
 
 
 def test_simhash_near_dup(docs):
-    # u1-u4 measured at hamming 7 -> use 8 chunks (recall guaranteed <= 7)
+    # u1-u4 measured at hamming 8 under the word-hash-combine scheme ->
+    # 16 chunks (pigeonhole guarantees recall for distance <= 15)
     pairs = {
         (r["key_a"], r["key_b"]): r["hamming"]
-        for r in simhash_candidates(docs, max_hamming=7, n_chunks=8).collect()
+        for r in simhash_candidates(docs, max_hamming=8, n_chunks=16).collect()
     }
     assert ("u1", "u2") in pairs and pairs[("u1", "u2")] == 0
-    assert ("u1", "u4") in pairs and pairs[("u1", "u4")] <= 7
+    assert ("u1", "u4") in pairs and pairs[("u1", "u4")] <= 8
     assert ("u1", "u5") not in pairs
 
 

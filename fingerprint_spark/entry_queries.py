@@ -481,17 +481,19 @@ SELECT vec_id::bigint AS vec_id, rank::bigint AS rank FROM ranked WHERE rank <= 
 
 
 def q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash + MinHash sketches per doc (near-dup identity; pandas UDFs
-    — no SQL oracle, driver records rows-only)."""
-    from .functions.hashing import minhash_signature_col, simhash64_col
+    """SimHash + MinHash sketches per doc (near-dup identity; one fused
+    pandas UDF: a single shingle-hash pass feeds both sketches — no SQL
+    oracle, driver records rows-only)."""
+    from .functions.hashing import sketches_col
 
-    df = _doc(spark, sf_dir)
-    sig = minhash_signature_col(F.col("text"), num_hashes=16)
+    df = _doc(spark, sf_dir).withColumn(
+        "sk", sketches_col(F.col("text"), num_hashes=16)
+    )
     return df.select(
         "doc_id",
-        simhash64_col(F.col("text")).alias("simhash"),
-        F.try_element_at(sig, F.lit(1)).alias("minhash_0"),
-        F.try_element_at(sig, F.lit(16)).alias("minhash_15"),
+        F.col("sk.simhash").alias("simhash"),
+        F.try_element_at(F.col("sk.minhash"), F.lit(1)).alias("minhash_0"),
+        F.try_element_at(F.col("sk.minhash"), F.lit(16)).alias("minhash_15"),
     )
 
 

@@ -181,6 +181,55 @@ def minhash_signature_col(text: Column, num_hashes: int = 64, k: int = 3) -> Col
     return _minhash_udf(num_hashes, k)(text)
 
 
+def _simhash_from_hashes(h: "np.ndarray") -> int:
+    if h.size == 0:
+        return 0
+    bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    votes = bits.sum(axis=0) * 2 > h.size
+    out = int(
+        np.packbits(votes.astype(np.uint8), bitorder="little").view(np.uint64)[0]
+    )
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def _minhash_from_hashes(h: "np.ndarray", num_hashes: int) -> list[int]:
+    if h.size == 0:
+        return [0] * num_hashes
+    a, b = _minhash_params(num_hashes)
+    hh = (h % np.uint64(_MINHASH_P))[None, :]
+    sig = ((a * hh + b) % np.uint64(_MINHASH_P)).min(axis=1)
+    return [int(x) for x in sig]
+
+
+@lru_cache(maxsize=2)
+def _sketches_udf(num_hashes: int, k: int):
+    """Fused simhash + minhash: ONE shingle-hash pass per doc (separate
+    UDF columns each recompute the shingles)."""
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("simhash", T.LongType()),
+                T.StructField("minhash", T.ArrayType(T.LongType())),
+            ]
+        )
+    )
+    def udf(texts: pd.Series) -> pd.DataFrame:
+        sims, sigs = [], []
+        for t in texts:
+            h = _shingle_hashes64(t or "", k)
+            sims.append(_simhash_from_hashes(h))
+            sigs.append(_minhash_from_hashes(h, num_hashes))
+        return pd.DataFrame({"simhash": sims, "minhash": sigs})
+
+    return udf
+
+
+def sketches_col(text: Column, num_hashes: int = 64, k: int = 3) -> Column:
+    """struct(simhash, minhash) from one shingle pass."""
+    return _sketches_udf(num_hashes, k)(text)
+
+
 def content_hash_bytes_blake3(
     names_values: list[tuple[str, str | None]]
 ) -> str:

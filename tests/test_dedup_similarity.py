@@ -188,3 +188,25 @@ def test_kmeans_refined_ivf_improves_recall(spark, emb):
     # refined centroids never lose to the hash sample on the same probe
     # budget (absolute recall at n_probe=2/8 cells is partial by design)
     assert r1 >= max(r0, 3), (r0, r1)
+
+
+def test_fused_sketches_match_individual_udfs(spark):
+    """sketches_col (one shingle pass) must equal the standalone simhash
+    and minhash columns value-for-value."""
+    from fingerprint_spark.functions.hashing import (
+        minhash_signature_col,
+        simhash64_col,
+        sketches_col,
+    )
+
+    df = spark.createDataFrame(
+        [(BASE,), (NEAR,), (FAR,), ("",), ("one two",)], ["text"]
+    )
+    out = df.select(
+        sketches_col(F.col("text"), num_hashes=8).alias("sk"),
+        simhash64_col(F.col("text")).alias("sh"),
+        minhash_signature_col(F.col("text"), num_hashes=8).alias("mh"),
+    ).collect()
+    for r in out:
+        assert r["sk"]["simhash"] == r["sh"]
+        assert list(r["sk"]["minhash"]) == list(r["mh"])

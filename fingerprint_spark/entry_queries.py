@@ -1143,3 +1143,62 @@ FROM p WHERE c >= 0.5
 
 
 ORACLE_QUERIES.update({"cosine_pairs": (q_cosine_pairs, sql_cosine_pairs)})
+
+
+def q_media_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal image path, oracle-checked: per doc, a REAL PNG is
+    built (deterministic gray level doc_id % 256, height 4 + doc_id % 5,
+    width 6), decoded back through the engine's stdlib PNG codec
+    (operators/media_codecs.py), and dimensions + pixel-derived luma
+    emitted as exact integers the oracle recomputes algebraically."""
+    from .operators.media_codecs import decode_png, encode_png
+
+    @F.pandas_udf("binary")
+    def to_png(doc_id: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for d in doc_id:
+            v = int(d) % 256
+            h = 4 + int(d) % 5
+            out.append(encode_png(np.full((h, 6, 1), v, dtype=np.uint8)))
+        return pd.Series(out)
+
+    @F.pandas_udf("width int, height int, luma_milli bigint")
+    def decode(payloads: pd.Series) -> pd.DataFrame:
+        rows = []
+        for p in payloads:
+            f = decode_png(bytes(p))
+            px = f["pixels"]
+            mean = float(px.mean())
+            rows.append(
+                {
+                    "width": f["width"],
+                    "height": f["height"],
+                    "luma_milli": int(mean * 1000 // 255),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    df = _doc(spark, sf_dir).select(
+        "doc_id", decode(to_png(F.col("doc_id"))).alias("f")
+    )
+    return df.select(
+        "doc_id",
+        F.col("f.width").alias("width"),
+        F.col("f.height").alias("height"),
+        F.col("f.luma_milli").alias("luma_milli"),
+    )
+
+
+def sql_media_roundtrip() -> str:
+    return """
+SELECT doc_id, 6 AS width, (4 + doc_id % 5)::int AS height,
+  ((doc_id % 256) * 1000 // 255)::bigint AS luma_milli
+FROM documents
+"""
+
+
+ORACLE_QUERIES.update(
+    {"media_roundtrip": (q_media_roundtrip, sql_media_roundtrip)}
+)

@@ -335,7 +335,6 @@ def _build_sections(
                 {
                     "heading": None, "level": None,
                     "start_line": 1, "end_line": n,
-                    "content": "\n".join(lines),
                     "body_lines": len(body), "page": None,
                 }
             )
@@ -347,7 +346,6 @@ def _build_sections(
             {
                 "heading": None, "level": None,
                 "start_line": 1, "end_line": first - 1,
-                "content": "\n".join(pre),
                 "body_lines": sum(1 for ln in pre if ln.strip()),
                 "page": None,
             }
@@ -363,7 +361,6 @@ def _build_sections(
             {
                 "heading": h["text"], "level": h["level"],
                 "start_line": h["line"], "end_line": end,
-                "content": "\n".join(body),
                 "body_lines": sum(1 for ln in body if ln.strip()),
                 "page": h.get("page"),
             }

@@ -27,7 +27,10 @@ SECTION_TYPE = T.StructType(
         T.StructField("level", T.IntegerType(), True),
         T.StructField("start_line", T.IntegerType(), False),
         T.StructField("end_line", T.IntegerType(), False),
-        T.StructField("content", T.StringType(), False),
+        # NO content field: section content is recoverable from
+        # (normalized, start_line, end_line) — carrying it duplicated the
+        # whole document text through Arrow per section (zero-retention:
+        # anchors + counts only, extract.rs:14-29)
         # count of non-blank body lines, heading line excluded
         # (reference assertions.rs:1851-1857 section_body_lines)
         T.StructField("body_lines", T.IntegerType(), False),

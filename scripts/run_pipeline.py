@@ -437,7 +437,12 @@ def main() -> int:
     run = CheckpointedRun(
         args.output, n_buckets=args.buckets, params_hash=args.params_version
     )
-    if not args.resume and run.completed_buckets():
+    try:
+        committed = run.completed_buckets()
+    except ValueError as e:  # bucketing-scheme mismatch: clean refusal
+        print(f"refusing: {e}", file=sys.stderr)
+        return 2
+    if not args.resume and committed:
         sys.exit(
             "output has committed buckets; pass --resume to continue or "
             "choose a fresh --output"

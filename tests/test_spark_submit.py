@@ -323,3 +323,27 @@ def test_cli_infer_emits_parseable_yaml(spark, tmp_path):
     assert len(d.assertions) >= 1
     r2 = run()
     assert r2.stdout == r1.stdout  # deterministic emission
+
+
+def test_cli_refuses_bucketing_mismatch_cleanly(spark, tmp_path):
+    """Resuming a checkpointed output under a different --buckets value
+    exits 2 with a readable refusal, not a traceback."""
+    import sys
+
+    corpus = str(tmp_path / "corpus")
+    out = str(tmp_path / "out")
+    write_corpus_partitioned(generate_corpus(spark, 40, partitions=2), corpus)
+    script = os.path.join(REPO, "scripts", "run_pipeline.py")
+
+    def run(buckets, *extra):
+        return subprocess.run(
+            [sys.executable, script, "--input", corpus, "--output", out,
+             "--buckets", str(buckets), "--no-witness", *extra],
+            capture_output=True, text=True, timeout=300,
+        )
+
+    assert run(2).returncode == 0
+    r = run(4, "--resume")
+    assert r.returncode == 2
+    assert "refusing" in r.stderr and "n_buckets" in r.stderr
+    assert "Traceback" not in r.stderr.split("refusing")[0][-200:]

@@ -111,6 +111,26 @@ def validate_definition(d: FingerprintDefinition) -> None:
                 raise ValidationError(
                     "E_INVALID_YAML", f"assertion {a.name}: bad A1 range {rng!r}"
                 )
+        if a.type == "text_near":
+            # positional span reconstruction (match_spans: split +
+            # regexp_extract_all) desyncs on zero-width matches — refuse
+            # patterns that can match the empty string (a*, bare ^, ...)
+            for pname in ("anchor", "value"):
+                pat = a.param(pname)
+                if pat is None:
+                    continue
+                try:
+                    if _re.search(str(pat), "") is not None:
+                        raise ValidationError(
+                            "E_INVALID_YAML",
+                            f"assertion {a.name}: text_near {pname} pattern "
+                            f"{pat!r} can match the empty string",
+                        )
+                except _re.error as e:
+                    raise ValidationError(
+                        "E_INVALID_YAML",
+                        f"assertion {a.name}: bad {pname} regex: {e}",
+                    )
     extract_names = {e.name for e in d.extract}
     if len(extract_names) != len(d.extract):
         raise ValidationError("E_INVALID_YAML", "duplicate extract names")

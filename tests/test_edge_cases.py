@@ -92,3 +92,27 @@ def test_metadata_key_lookup_case_insensitive_missing_false(spark):
     env = {"pdf": F.col("pdf")}
     assert _run(spark, df, env, "metadata_regex", {"key": "title", "pattern": "Annual.*"})
     assert not _run(spark, df, env, "metadata_regex", {"key": "NonexistentKey", "pattern": ".+"})
+
+
+def test_text_near_refuses_empty_matching_patterns():
+    """Zero-width-capable text_near patterns (a*, bare ^) desync the
+    positional span reconstruction — refused at validation."""
+    from fingerprint_spark.dsl.model import FingerprintDefinition
+
+    def rule(anchor, value):
+        return FingerprintDefinition(
+            fingerprint_id="t.v1", format="html",
+            assertions=(make_assertion(
+                "text_near", "a",
+                {"anchor": anchor, "value": value, "within_chars": 10},
+            ),),
+            source="t", source_hash="md5:t",
+        )
+
+    with pytest.raises(ValidationError, match="empty string"):
+        validate_definition(rule("x*", r"\d+"))
+    with pytest.raises(ValidationError, match="empty string"):
+        validate_definition(rule("Anchor", "^"))
+    with pytest.raises(ValidationError, match="bad value regex"):
+        validate_definition(rule("Anchor", "[unclosed"))
+    validate_definition(rule("Anchor", r"\d{4}"))  # sane patterns pass

@@ -295,16 +295,20 @@ def _infer_mode(argv: list[str]) -> int:
     and print a deterministic .fp.yaml (reference infer subcommand,
     tests/infer_subcommand.rs; input is a parquet corpus rather than a
     file directory — the Spark-native shape)."""
-    paths = [a for a in argv[1:] if not a.startswith("--")]
-    if not paths:
-        print("usage: infer <corpus.parquet> --id ID [--format html] "
-              "[--min-confidence F] [--content-col html]", file=sys.stderr)
-        return 2
+    # one pass: flags consume their value, everything else is positional
+    # (so `infer --id X corpus` and `infer corpus --id X` both work)
+    paths: list[str] = []
     opts: dict[str, str] = {}
     it = iter(argv[1:])
     for a in it:
         if a.startswith("--"):
             opts[a[2:].replace("-", "_")] = next(it, "")
+        else:
+            paths.append(a)
+    if not paths:
+        print("usage: infer <corpus.parquet> --id ID [--format html] "
+              "[--min-confidence F] [--content-col html]", file=sys.stderr)
+        return 2
     if "id" not in opts:
         print("infer: --id required", file=sys.stderr)
         return 2

@@ -17,6 +17,10 @@ the reference's validation order.
 
 from __future__ import annotations
 
+# module-level: pandas_udf resolves the 'pd.Series' type-hint strings in
+# module globals
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -101,3 +105,39 @@ def read_manifest(
             raise ValueError(f"manifest validation failed: {msgs}")
         return out.drop("refusal", "line")
     return out
+
+
+def load_text_paths(df: DataFrame, path_col: str = "text_path") -> DataFrame:
+    """Load the pre-extracted text sidecar files the manifest points at
+    (reference mod.rs:83-86: pdf content assertions evaluate the
+    text_path markdown). Executor-side open — on a real cluster the
+    paths live on shared storage, so each task reads only its rows'
+    files; bytes never pass through the driver.
+
+    Adds ``text`` (null when no text_path) and ``text_refusal``
+    (E_TEXT_UNREADABLE when the file is missing/unreadable — a row
+    outcome, never a task failure)."""
+
+    @F.pandas_udf("text string, text_refusal string")
+    def load(paths: pd.Series) -> pd.DataFrame:
+        rows = []
+        for p in paths:
+            if p is None:
+                rows.append({"text": None, "text_refusal": None})
+                continue
+            try:
+                with open(p, encoding="utf-8") as f:
+                    rows.append({"text": f.read(), "text_refusal": None})
+            except OSError as e:
+                rows.append(
+                    {
+                        "text": None,
+                        "text_refusal": f"E_TEXT_UNREADABLE:{type(e).__name__}",
+                    }
+                )
+        return pd.DataFrame(rows)
+
+    loaded = load(F.col(path_col))
+    return df.withColumn("text", loaded["text"]).withColumn(
+        "text_refusal", loaded["text_refusal"]
+    )

@@ -363,3 +363,33 @@ def test_pdf_text_path_mechanism_and_e_no_text(spark):
     assert got["http://x/scan.pdf"]["refusal"] == "E_NO_TEXT"
     assert got["http://x/scan.pdf"]["parsed"] is None
     assert got["http://x/page.html"]["refusal"] is None
+
+
+def test_manifest_text_path_sidecar_loading(spark, tmp_path):
+    """text_path sidecar files load executor-side (mod.rs:83-86: pdf
+    content assertions over pre-extracted markdown); a missing file is
+    an E_TEXT_UNREADABLE row outcome, never a task failure."""
+    import json as _json
+
+    from fingerprint_spark.sources.manifest import load_text_paths, read_manifest
+
+    side = tmp_path / "doc1.md"
+    side.write_text("# Findings\n\nRevenue grew.")
+    lines = [
+        _json.dumps({"version": "hash.v0", "path": "/x/a.pdf",
+                     "bytes_hash": "h", "text_path": str(side)}),
+        _json.dumps({"version": "hash.v0", "path": "/x/b.pdf",
+                     "bytes_hash": "h", "text_path": str(tmp_path / "missing.md")}),
+        _json.dumps({"version": "hash.v0", "path": "/x/c.html",
+                     "bytes_hash": "h"}),
+    ]
+    mp = str(tmp_path / "m.jsonl")
+    with open(mp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    out = load_text_paths(read_manifest(spark, mp, strict=True))
+    got = {r["path"]: r for r in out.collect()}
+    assert got["/x/a.pdf"]["text"].startswith("# Findings")
+    assert got["/x/a.pdf"]["text_refusal"] is None
+    assert got["/x/b.pdf"]["text"] is None
+    assert got["/x/b.pdf"]["text_refusal"].startswith("E_TEXT_UNREADABLE")
+    assert got["/x/c.html"]["text"] is None and got["/x/c.html"]["text_refusal"] is None

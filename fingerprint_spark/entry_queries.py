@@ -556,9 +556,26 @@ ORACLE_QUERIES = {
     "embedding_topk": (q_embedding_topk, sql_embedding_topk),
 }
 
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed rolling-hash document fingerprints (MOSS construction;
+    the brief's 'document fingerprinting (rolling hash)') — compact
+    per-doc fingerprint sets; rows-only (stride-windowed rolling hash is
+    not SQL-expressible)."""
+    from .functions.hashing import winnow_fingerprints_col
+
+    df = _doc(spark, sf_dir)
+    fp = winnow_fingerprints_col(F.col("text"), k=8, window=4)
+    return df.select(
+        "doc_id",
+        F.size(fp).cast("bigint").alias("n_fingerprints"),
+        F.try_element_at(fp, F.lit(1)).alias("fingerprint_0"),
+    )
+
+
 ROWS_ONLY_QUERIES = {
     "sketches": q_sketches,
     "html_pipeline": q_html_pipeline,
+    "winnow": q_winnow,
 }
 
 

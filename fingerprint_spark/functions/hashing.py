@@ -325,3 +325,82 @@ def hamming64(a: Column, b: Column) -> Column:
 def canonical_text_col(text: Column) -> Column:
     """Case/whitespace canonicalization before content hashing."""
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+# ---------------------------------------------------------------------------
+# winnowing document fingerprints (rolling hash) — the MOSS construction
+# (Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms for Document
+# Fingerprinting", SIGMOD 2003 — public)
+# ---------------------------------------------------------------------------
+
+_RK_BASE = np.uint64(1000003)
+_RK_MASK = np.uint64((1 << 61) - 1)  # cheap modulus via mask (2^61-1 shape)
+
+
+def winnow_fingerprints_py(
+    text: str, k: int = 8, window: int = 4
+) -> list[int]:
+    """Winnowed rolling-hash fingerprints: Rabin-Karp hashes of every
+    char k-gram (canonicalized text), then the minimum hash of each
+    w-length window (rightmost tie), deduplicated in first-seen order.
+
+    Guarantee (the winnowing property): any shared substring of length
+    >= k + window - 1 between two documents shares at least one
+    fingerprint. Fully vectorized: prefix-product-free rolling via
+    H[i+1] = (H[i]*b + c) computed as a cumulative polynomial with
+    precomputed powers; window minima via stride tricks."""
+    s = " ".join((text or "").lower().split())
+    if len(s) < k:
+        return []
+    codes = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    n = len(codes)
+    if n < k:
+        return []
+    # polynomial k-gram hashes: h_i = sum codes[i+j] * b^(k-1-j)  (mod 2^64
+    # wraparound — collision-adequate for fingerprinting)
+    # powers computed in Python ints (explicit 2^64 wraparound — numpy
+    # warns on scalar uint64 overflow even though wraparound is intended)
+    pw, plist = 1, []
+    for _ in range(k):
+        plist.append(pw)
+        pw = (pw * int(_RK_BASE)) & _MASK64
+    powers = np.array(list(reversed(plist)), dtype=np.uint64)
+    windows = np.lib.stride_tricks.sliding_window_view(codes, k)
+    h = (windows * powers[None, :]).sum(axis=1, dtype=np.uint64)
+    if h.size < window:
+        sel = np.array([int(h.min())], dtype=np.uint64)
+    else:
+        wv = np.lib.stride_tricks.sliding_window_view(h, window)
+        mins = wv.min(axis=1)
+        # rightmost minimum per window (the robust-winnowing tie rule):
+        # argmax over reversed equality
+        eq = wv == mins[:, None]
+        idx = window - 1 - np.argmax(eq[:, ::-1], axis=1)
+        pos = np.arange(len(mins)) + idx
+        keep = np.ones(len(pos), dtype=bool)
+        keep[1:] = pos[1:] != pos[:-1]
+        sel = wv[np.arange(len(mins)), idx][keep]
+    out: list[int] = []
+    seen = set()
+    for v in sel.tolist():
+        iv = int(v) - (1 << 64) if int(v) >= (1 << 63) else int(v)
+        if iv not in seen:
+            seen.add(iv)
+            out.append(iv)
+    return out
+
+
+@lru_cache(maxsize=2)
+def _winnow_udf(k: int, window: int):
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def udf(texts: pd.Series) -> pd.Series:
+        return pd.Series([winnow_fingerprints_py(t, k, window) for t in texts])
+
+    return udf
+
+
+def winnow_fingerprints_col(text: Column, k: int = 8, window: int = 4) -> Column:
+    """array<long> winnowed fingerprints per doc — near-dup / substring
+    containment via array_intersect or explode+join on the (compact)
+    fingerprint sets; the text itself never shuffles."""
+    return _winnow_udf(k, window)(text)

@@ -210,3 +210,28 @@ def test_fused_sketches_match_individual_udfs(spark):
     for r in out:
         assert r["sk"]["simhash"] == r["sh"]
         assert list(r["sk"]["minhash"]) == list(r["mh"])
+
+
+def test_winnow_fingerprints_detect_containment(spark, docs):
+    """Winnowed fingerprint sets intersect for near-dups / shared
+    passages (u1 vs u4: one-word edit) and not for unrelated docs —
+    substring containment via compact sets, text never joined."""
+    from fingerprint_spark.functions.hashing import winnow_fingerprints_col
+
+    out = docs.select(
+        "url", winnow_fingerprints_col(F.col("text")).alias("fp")
+    )
+    a = out.alias("a")
+    b = out.alias("b")
+    pairs = (
+        a.join(b, F.col("a.url") < F.col("b.url"))
+        .select(
+            F.col("a.url").alias("ua"), F.col("b.url").alias("ub"),
+            F.size(F.array_intersect("a.fp", "b.fp")).alias("shared"),
+        )
+        .collect()
+    )
+    got = {(r["ua"], r["ub"]): r["shared"] for r in pairs}
+    assert got[("u1", "u4")] > 5     # near-dup: heavy overlap
+    assert got[("u1", "u2")] > 5     # exact dup
+    assert got[("u1", "u5")] == 0    # unrelated

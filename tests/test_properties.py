@@ -177,3 +177,34 @@ def test_xlsx_roundtrip_property(sheets):
         )
         want = [r[:trimmed_width] for r in want]
         assert got[name] == want, (name, grid, got[name])
+
+
+def test_winnowing_guarantee_and_determinism():
+    """The winnowing property: documents sharing a substring of length
+    >= k + window - 1 share at least one fingerprint; disjoint-alphabet
+    documents share none; output is deterministic."""
+    from fingerprint_spark.functions.hashing import winnow_fingerprints_py
+
+    shared = "the quarterly revenue figures improved materially this year"
+    a = "intro text before. " + shared + " trailing remarks here."
+    b = "completely different opening. " + shared + " other ending."
+    c = "zzz qqq xxx vvv kkk jjj uuu www yyy mmm nnn ppp rrr sss ttt"
+    fa = winnow_fingerprints_py(a, k=8, window=4)
+    fb = winnow_fingerprints_py(b, k=8, window=4)
+    fc = winnow_fingerprints_py(c, k=8, window=4)
+    assert fa == winnow_fingerprints_py(a, k=8, window=4)
+    assert set(fa) & set(fb), "shared substring must share a fingerprint"
+    assert not (set(fa) & set(fc))
+    assert winnow_fingerprints_py("", 8, 4) == []
+    assert winnow_fingerprints_py("short", 8, 4) == []
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(alphabet="abcdef gh", min_size=0, max_size=200))
+def test_winnowing_never_throws_and_bounded(s):
+    from fingerprint_spark.functions.hashing import winnow_fingerprints_py
+
+    fp = winnow_fingerprints_py(s, k=5, window=3)
+    assert all(-(1 << 63) <= x < (1 << 63) for x in fp)
+    # winnowing selects ~1/window of positions: sane upper bound
+    assert len(fp) <= max(1, len(s))

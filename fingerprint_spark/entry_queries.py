@@ -1219,3 +1219,53 @@ FROM documents
 ORACLE_QUERIES.update(
     {"media_roundtrip": (q_media_roundtrip, sql_media_roundtrip)}
 )
+
+
+def q_pipeline_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end composition, oracle-checked: quality filter (langid +
+    heuristics) -> exact dedup over the survivors (canonical-text
+    min-key) -> per-source rollup. Proves the stages compose without
+    each other's assumptions breaking (the keep verdict feeds dedup's
+    grouping; dedup's survivor policy feeds the aggregate)."""
+    from .operators.dedup import dedup_exact
+    from .pipeline import quality_filter_text
+
+    df = _doc(spark, sf_dir).withColumnRenamed("doc_id", "url")
+    kept = quality_filter_text(df, text_col="text", url_col="url").filter(
+        F.col("keep")
+    )
+    surv = dedup_exact(kept, text_col="text", key_col="url")
+    return surv.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_survivors"),
+        F.min("url").cast("bigint").alias("min_doc"),
+    )
+
+
+def sql_pipeline_dedup() -> str:
+    heur = " ".join(
+        f"WHEN NOT {_SQL_FLAG_EXPRS[n]} THEN 0" for n in FLAG_NAMES
+    )
+    return f"""
+WITH stats AS ({_sql_stats_cte()}),
+langs AS ({_sql_lang_scores()}),
+l AS (SELECT doc_id, {_sql_lang_case()} AS lang_detected FROM langs),
+j AS (SELECT s.*, l.lang_detected FROM stats s JOIN l USING (doc_id)),
+kept AS (
+  SELECT d.doc_id, d.source, d.text FROM documents d JOIN j USING (doc_id)
+  WHERE (CASE WHEN j.lang_detected <> 'en' THEN 0 {heur} ELSE 1 END) = 1),
+canon AS (
+  SELECT doc_id, source,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ct
+  FROM kept),
+surv AS (
+  SELECT doc_id, source,
+         min(doc_id) OVER (PARTITION BY ct) AS keeper
+  FROM canon)
+SELECT source, count(*)::bigint AS n_survivors, min(doc_id)::bigint AS min_doc
+FROM surv WHERE doc_id = keeper GROUP BY source
+"""
+
+
+ORACLE_QUERIES.update(
+    {"pipeline_dedup": (q_pipeline_dedup, sql_pipeline_dedup)}
+)

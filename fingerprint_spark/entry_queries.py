@@ -1269,3 +1269,48 @@ FROM surv WHERE doc_id = keeper GROUP BY source
 ORACLE_QUERIES.update(
     {"pipeline_dedup": (q_pipeline_dedup, sql_pipeline_dedup)}
 )
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the events stream (30-min gap):
+    per-(user, session) event count and span — one user-partitioned
+    window + one aggregation, oracle-checked."""
+    from .operators.sessions import session_stats
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = session_stats(df, gap_s=1800)
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("session_index").cast("bigint").alias("session_index"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("start_epoch").cast("bigint").alias("start_epoch"),
+        F.col("end_epoch").cast("bigint").alias("end_epoch"),
+        F.col("first_event").cast("bigint").alias("first_event"),
+    )
+
+
+def sql_events_sessions() -> str:
+    return """
+WITH o AS (
+  SELECT user_id, event_id, floor(epoch(ts))::bigint AS es,
+    CASE WHEN lag(floor(epoch(ts))) OVER w IS NULL
+              OR floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w > 1800
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, event_id, es,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY es, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS session_index
+  FROM o)
+SELECT user_id::bigint AS user_id, session_index::bigint AS session_index,
+  count(*)::bigint AS n_events, min(es)::bigint AS start_epoch,
+  max(es)::bigint AS end_epoch, min(event_id)::bigint AS first_event
+FROM s GROUP BY user_id, session_index
+"""
+
+
+ORACLE_QUERIES.update(
+    {"events_sessions": (q_events_sessions, sql_events_sessions)}
+)

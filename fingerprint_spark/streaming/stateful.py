@@ -71,6 +71,84 @@ def _quota_fn(max_per_host: int, ttl_ms: int | None):
     return fn
 
 
+SESSION_OUT_DDL = (
+    "user_id long, session_start long, session_end long, n_events long"
+)
+SESSION_STATE_DDL = "start long, last long, n long"
+
+
+def _session_fn(gap_s: int):
+    def fn(key, batches, state):
+        (user,) = key
+        if state.hasTimedOut:
+            # watermark passed last_event + gap: the session is CLOSED
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [{"user_id": user, "session_start": start,
+                  "session_end": last, "n_events": n}]
+            )
+            return
+        start, last, n = state.get if state.exists else (None, None, 0)
+        closed = []
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, row in pdf.iterrows():
+                es = int(row["ts"].timestamp())
+                if start is None:
+                    start, last, n = es, es, 1
+                elif es - last > gap_s:
+                    closed.append(
+                        {"user_id": user, "session_start": start,
+                         "session_end": last, "n_events": n}
+                    )
+                    start, last, n = es, es, 1
+                else:
+                    last, n = es, n + 1
+        target_ms = (last + gap_s) * 1000
+        if target_ms <= state.getCurrentWatermarkMs():
+            # the watermark already passed last + gap: this session is
+            # closed by event time — emit now (setTimeoutTimestamp
+            # requires a future-of-watermark instant)
+            closed.append(
+                {"user_id": user, "session_start": start,
+                 "session_end": last, "n_events": n}
+            )
+            state.remove()
+        else:
+            state.update((start, last, n))
+            # close the open session when the WATERMARK passes last + gap
+            state.setTimeoutTimestamp(target_ms)
+        yield pd.DataFrame(
+            closed, columns=["user_id", "session_start", "session_end", "n_events"]
+        )
+
+    return fn
+
+
+def streaming_sessions(
+    stream_df: DataFrame,
+    gap_s: int = 1800,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Event-time gap sessionization over a stream: one state row per
+    open session per user; a session closes (and emits) when a larger
+    gap arrives in-stream or when the WATERMARK passes last_event + gap
+    (EventTimeTimeout — late data beyond the watermark can't reopen a
+    closed session, the standard streaming-session contract). The batch
+    equivalent is operators/sessions.py."""
+    wm = stream_df.withWatermark(ts_col, watermark)
+    return wm.groupBy(user_col).applyInPandasWithState(
+        _session_fn(gap_s),
+        outputStructType=SESSION_OUT_DDL,
+        stateStructType=SESSION_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def host_quota(
     stream_df: DataFrame,
     max_per_host: int = 100,

@@ -105,3 +105,77 @@ def test_host_quota_caps_per_host_across_batches(spark, tmp_path):
         r["admitted_rank"] for r in rows if r["host"] == "popular.example.com"
     )
     assert ranks == list(range(1, 11))
+
+
+def test_streaming_sessions_match_batch(spark, tmp_path):
+    """Streaming gap-sessions == batch sessionization for every session
+    the stream CLOSES (in-stream gap or watermark timeout); trailing
+    still-open sessions legitimately remain in state."""
+    from datetime import datetime, timedelta
+
+    from fingerprint_spark.operators.sessions import session_stats
+    from fingerprint_spark.streaming.stateful import streaming_sessions
+
+    # deterministic events: 3 users, sessions split by > 30-min gaps,
+    # plus a late sentinel event far in the future that advances the
+    # watermark past every earlier session
+    rows = []
+    eid = 0
+    base = datetime(2024, 1, 1)
+    for u in (1, 2, 3):
+        for sess in range(3):
+            t0 = base + timedelta(hours=2 * sess + u)
+            for i in range(4):
+                rows.append((eid, u, t0 + timedelta(seconds=60 * i)))
+                eid += 1
+    sentinel = (eid, 99, base + timedelta(days=30))  # watermark pusher
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    # files must arrive in TIME order (the operator, like any streaming
+    # sessionizer, relies on the watermark contract: events later than
+    # watermark+allowance don't appear) — write time-contiguous slices
+    # sequentially, sentinel last
+    src = str(tmp_path / "src")
+    ordered = sorted(rows, key=lambda r: (r[2], r[0]))
+    third = len(ordered) // 3
+    schema = "event_id long, user_id long, ts timestamp"
+    for chunk in (ordered[:third], ordered[third:2 * third], ordered[2 * third:]):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    spark.createDataFrame([sentinel], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    q = (
+        streaming_sessions(stream, gap_s=1800, watermark="1 minute")
+        .writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        assert q.awaitTermination(240)
+    finally:
+        q.stop()
+    got = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sess").collect()
+    }
+    want_df = session_stats(df.filter("user_id < 99"), gap_s=1800)
+    want = {
+        (r["user_id"], r["start_epoch"]): (r["end_epoch"], r["n_events"])
+        for r in want_df.collect()
+    }
+    # every batch session except possibly the last-open ones must appear,
+    # closed with identical span and count
+    assert len(got) >= len(want) - 3   # <= one open session per user
+    for k, v in got.items():
+        assert want[k] == v, (k, v, want.get(k))

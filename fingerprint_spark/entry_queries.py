@@ -1314,3 +1314,35 @@ FROM s GROUP BY user_id, session_index
 ORACLE_QUERIES.update(
     {"events_sessions": (q_events_sessions, sql_events_sessions)}
 )
+
+
+def q_orders_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantile rollup (percentile coverage): median and p90 of
+    order totals per priority. Spark's exact `percentile` and DuckDB's
+    `quantile_cont` share the linear-interpolation definition; outputs
+    rounded to integer micros for stable hashing."""
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    price = F.col("o_totalprice").cast("double")
+    return df.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(F.expr("percentile(CAST(o_totalprice AS double), 0.5)") * 100)
+        .cast("bigint")
+        .alias("median_cents"),
+        F.round(F.expr("percentile(CAST(o_totalprice AS double), 0.9)") * 100)
+        .cast("bigint")
+        .alias("p90_cents"),
+    )
+
+
+def sql_orders_quantiles() -> str:
+    return """
+SELECT o_orderpriority, count(*)::bigint AS n_orders,
+  round(quantile_cont(o_totalprice::double, 0.5) * 100)::bigint AS median_cents,
+  round(quantile_cont(o_totalprice::double, 0.9) * 100)::bigint AS p90_cents
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+ORACLE_QUERIES.update(
+    {"orders_quantiles": (q_orders_quantiles, sql_orders_quantiles)}
+)

@@ -1346,3 +1346,98 @@ FROM orders GROUP BY o_orderpriority
 ORACLE_QUERIES.update(
     {"orders_quantiles": (q_orders_quantiles, sql_orders_quantiles)}
 )
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation coverage: ROLLUP(event_type, day) with
+    grouping markers — subtotals and grand total in one pass."""
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    return (
+        df.select(F.col("event_type"), day.alias("day"))
+        .rollup("event_type", "day")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("day").cast("int").alias("g_day"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            "n_events", "g_type", "g_day",
+        )
+    )
+
+
+def sql_events_rollup() -> str:
+    return """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+  coalesce(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,
+  count(*)::bigint AS n_events,
+  grouping(event_type)::int AS g_type,
+  grouping(strftime(ts, '%Y-%m-%d'))::int AS g_day
+FROM events GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m-%d'))
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join coverage: customers with zero orders (the reference's
+    'unexpected/missing' shape relationally)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select(
+            F.col("c_custkey").cast("bigint").alias("c_custkey"),
+            "c_mktsegment",
+        )
+    )
+
+
+def sql_customers_without_orders() -> str:
+    return """
+SELECT c_custkey::bigint AS c_custkey, c_mktsegment
+FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_lang_by_source_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot coverage: per-source language distribution as wide columns
+    (langid stage feeding a pivoted rollup)."""
+    df = q_langid(spark, sf_dir).join(
+        _doc(spark, sf_dir).select("doc_id", "source"), "doc_id"
+    )
+    piv = (
+        df.groupBy("source")
+        .pivot("lang_detected", list(LANGS) + ["und"])
+        .count()
+        .na.fill(0)
+    )
+    return piv.select(
+        "source",
+        *[F.col(lang).cast("bigint").alias(f"n_{lang}") for lang in list(LANGS) + ["und"]],
+    )
+
+
+def sql_lang_by_source_pivot() -> str:
+    cols = ", ".join(
+        f"count(*) FILTER (WHERE lang_detected = '{lang}')::bigint AS n_{lang}"
+        for lang in list(LANGS) + ["und"]
+    )
+    return f"""
+WITH s AS ({_sql_lang_scores()}),
+l AS (SELECT doc_id, {_sql_lang_case()} AS lang_detected FROM s),
+j AS (SELECT d.source, l.lang_detected FROM documents d JOIN l USING (doc_id))
+SELECT source, {cols} FROM j GROUP BY source
+"""
+
+
+ORACLE_QUERIES.update(
+    {
+        "events_rollup": (q_events_rollup, sql_events_rollup),
+        "customers_without_orders": (
+            q_customers_without_orders, sql_customers_without_orders,
+        ),
+        "lang_by_source_pivot": (q_lang_by_source_pivot, sql_lang_by_source_pivot),
+    }
+)

@@ -446,13 +446,15 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # TakeOrderedAndProject (per-partition top-k + driver merge) instead
     # of a global unpartitioned window; the rank window sees only the 10
-    # rows (`% 1`: constant but non-foldable partition spec — no
-    # single-partition WindowExec warning).
-    top = scored.orderBy(F.desc("cos_r"), F.asc("vec_id")).limit(10)
-    w = W.partitionBy(F.col("vec_id") % 1).orderBy(F.desc("cos_r"), F.asc("vec_id"))
+    # rows (operators/topk.py: non-foldable type-agnostic partition spec)
+    from .operators.topk import ranked_topk
+
+    top = ranked_topk(
+        scored, [F.desc("cos_r"), F.asc("vec_id")], 10, key="vec_id"
+    )
     return top.select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
-        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.col("rank").cast("bigint").alias("rank"),
     )
 
 
@@ -645,15 +647,16 @@ def q_orders_revenue_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # TakeOrderedAndProject instead of a global unpartitioned window; the
-    # rank window sees only 20 rows (`% 1`: non-foldable partition spec)
-    top = j.orderBy(F.desc("rev_d"), F.asc("l_orderkey")).limit(20)
-    w = W.partitionBy(F.col("l_orderkey") % 1).orderBy(
-        F.desc("rev_d"), F.asc("l_orderkey")
+    # rank window sees only 20 rows (operators/topk.py)
+    from .operators.topk import ranked_topk
+
+    top = ranked_topk(
+        j, [F.desc("rev_d"), F.asc("l_orderkey")], 20, key="l_orderkey"
     )
     return top.select(
         F.col("l_orderkey").cast("bigint").alias("orderkey"),
         F.col("rev_d").cast("string").alias("revenue"),
-        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.col("rank").cast("bigint").alias("rank"),
     )
 
 
@@ -1117,11 +1120,16 @@ FROM documents
 ORACLE_QUERIES.update({"token_bpe": (q_token_bpe, sql_token_bpe)})
 
 
+COSINE_PAIR_THRESHOLD = 0.3  # ~55 pairs at every sf (0.5 matched NOTHING
+# on the driver corpus — a vacuous 0=0 oracle row that couldn't
+# distinguish a broken operator from a correct one; round-2 VERDICT #2)
+
+
 def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup, oracle-checkable form: all (a < b) pairs with
-    rounded cosine >= 0.5 among the first 120 vectors (exact verify
-    semantics of embedding_near_dup; the LSH candidate stage is
-    plane-literal-dependent and covered by pytest instead)."""
+    rounded cosine >= COSINE_PAIR_THRESHOLD among the first 120 vectors
+    (exact verify semantics of embedding_near_dup; the LSH candidate
+    stage is plane-literal-dependent and covered by pytest instead)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
         F.col("vec_id") < 120
     )
@@ -1132,10 +1140,12 @@ def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(F.broadcast(b), F.col("ka") < F.col("kb")).select(
         "ka", "kb", F.round(_cosine(F.col("ea"), F.col("eb")), 4).alias("c"),
     )
-    return pairs.filter(F.col("c") >= 0.5).select(
+    # explicit round: c*10000 can land at N - 1e-12 in binary and a raw
+    # bigint cast TRUNCATES in Spark but ROUNDS in DuckDB
+    return pairs.filter(F.col("c") >= COSINE_PAIR_THRESHOLD).select(
         F.col("ka").cast("bigint").alias("key_a"),
         F.col("kb").cast("bigint").alias("key_b"),
-        (F.col("c") * 10000).cast("bigint").alias("cosine_e4"),
+        F.round(F.col("c") * 10000).cast("bigint").alias("cosine_e4"),
     )
 
 
@@ -1154,9 +1164,9 @@ p AS (
       4) AS c
   FROM e a JOIN e b ON a.vec_id < b.vec_id)
 SELECT key_a::bigint AS key_a, key_b::bigint AS key_b,
-       (c * 10000)::bigint AS cosine_e4
-FROM p WHERE c >= 0.5
-"""
+       round(c * 10000)::bigint AS cosine_e4
+FROM p WHERE c >= {thr}
+""".format(thr=COSINE_PAIR_THRESHOLD)
 
 
 ORACLE_QUERIES.update({"cosine_pairs": (q_cosine_pairs, sql_cosine_pairs)})
@@ -1381,12 +1391,19 @@ FROM events GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m-%d'))
 
 
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti-join coverage: customers with zero orders (the reference's
-    'unexpected/missing' shape relationally)."""
+    """Anti-join coverage: customers with zero URGENT-priority orders
+    (the reference's 'unexpected/missing' shape relationally). The
+    filter pushes into the parquet scan of the right side BEFORE the
+    anti-join build. (Plain zero-order customers matched NOTHING on the
+    driver corpus — a vacuous 0=0 oracle row; round-2 VERDICT #2.)"""
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_custkey")
+    urgent = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
         .select(
             F.col("c_custkey").cast("bigint").alias("c_custkey"),
             "c_mktsegment",
@@ -1397,7 +1414,8 @@ def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_customers_without_orders() -> str:
     return """
 SELECT c_custkey::bigint AS c_custkey, c_mktsegment
-FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+FROM customer WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
 """
 
 

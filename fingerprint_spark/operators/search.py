@@ -23,7 +23,8 @@ import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
+
+from .topk import ranked_topk
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -65,9 +66,10 @@ def build_bm25_index(
     }
 
 
-def bm25_search(index: dict, query: str, k: int = 10) -> DataFrame:
-    """(key, score, rank) for the query terms; deterministic tie-break
-    (score desc, key asc)."""
+def bm25_scores(index: dict, query: str) -> DataFrame:
+    """(key, score) for every doc with a lexical hit — no ranking, no
+    global ordering; the shuffle is bounded by the postings of the query
+    terms. Use this for set-style consumers (support calibration)."""
     q_terms = sorted(
         {t for t in query.lower().split() if len(t) >= 2}
     )
@@ -96,10 +98,15 @@ def bm25_search(index: dict, query: str, k: int = 10) -> DataFrame:
         .groupBy("key")
         .agg(F.sum("s").alias("score"))
     )
-    w = W.orderBy(F.desc("score"), F.asc("key"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
+    return scored
+
+
+def bm25_search(index: dict, query: str, k: int = 10) -> DataFrame:
+    """(key, score, rank) top-k by BM25; deterministic tie-break (score
+    desc, key asc). TakeOrderedAndProject + k-row rank window — the
+    scored corpus never serializes through one task."""
+    scored = bm25_scores(index, query)
+    return ranked_topk(scored, [F.desc("score"), F.asc("key")], k)
 
 
 def hash_embedding(text: Column, dim: int = EMBED_DIM) -> Column:
@@ -126,12 +133,13 @@ def hash_embedding(text: Column, dim: int = EMBED_DIM) -> Column:
     )
 
 
-def embedding_search(
-    df: DataFrame, query: str, k: int = 10,
+def embedding_scores(
+    df: DataFrame, query: str,
     text_col: str = "text", key_col: str = "url", dim: int = 64,
 ) -> DataFrame:
-    """Semantic ranking: cosine between hashed embeddings of docs and
-    query (small default dim keeps the per-row HOF cost bounded)."""
+    """(key, score): cosine between hashed embeddings of docs and query
+    (small default dim keeps the per-row HOF cost bounded). Narrow —
+    broadcast query vector, no shuffle, no ordering."""
     from .dedup import _cosine
 
     spark = df.sparkSession
@@ -142,13 +150,19 @@ def embedding_search(
         F.col(key_col).alias("key"),
         hash_embedding(F.col(text_col), dim).alias("emb"),
     )
-    scored = emb.crossJoin(F.broadcast(qdf)).select(
+    return emb.crossJoin(F.broadcast(qdf)).select(
         "key", _cosine(F.col("emb"), F.col("q_emb")).alias("score")
     )
-    w = W.orderBy(F.desc("score"), F.asc("key"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
+
+
+def embedding_search(
+    df: DataFrame, query: str, k: int = 10,
+    text_col: str = "text", key_col: str = "url", dim: int = 64,
+) -> DataFrame:
+    """Semantic top-k: (key, score, rank), deterministic (score desc,
+    key asc) tie-break, TakeOrderedAndProject + k-row rank window."""
+    scored = embedding_scores(df, query, text_col, key_col, dim)
+    return ranked_topk(scored, [F.desc("score"), F.asc("key")], k)
 
 
 def rrf_fuse(rankings: list[DataFrame], k: int = RRF_K, top: int = 10) -> DataFrame:
@@ -162,10 +176,9 @@ def rrf_fuse(rankings: list[DataFrame], k: int = RRF_K, top: int = 10) -> DataFr
     for c in contribs[1:]:
         all_c = all_c.unionByName(c)
     fused = all_c.groupBy("key").agg(F.sum("c").alias("rrf_score"))
-    w = W.orderBy(F.desc("rrf_score"), F.asc("key"))
-    return fused.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= top
-    )
+    # the fused set is already <= sum(len(rankings)) rows, but keep the
+    # scale-safe shape anyway — callers may fuse unbounded score lists
+    return ranked_topk(fused, [F.desc("rrf_score"), F.asc("key")], top)
 
 
 def hybrid_search(
@@ -184,9 +197,11 @@ def support_for_query(
     text_col: str = "text", key_col: str = "url",
 ) -> int:
     """Calibration: count docs with a lexical hit OR semantic score >=
-    threshold (frankensearch.rs:122-137)."""
+    threshold (frankensearch.rs:122-137). Set semantics only — uses the
+    UNRANKED score paths (a distributed distinct-count; the old
+    k=10^6 ranked variant ordered the whole corpus for nothing)."""
     index = build_bm25_index(df, text_col, key_col)
-    lex_keys = bm25_search(index, query, k=10**6).select("key")
-    sem = embedding_search(df, query, k=10**6, text_col=text_col, key_col=key_col)
+    lex_keys = bm25_scores(index, query).select("key")
+    sem = embedding_scores(df, query, text_col=text_col, key_col=key_col)
     sem_keys = sem.filter(F.col("score") >= min_semantic).select("key")
     return lex_keys.union(sem_keys).distinct().count()

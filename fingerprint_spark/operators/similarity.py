@@ -20,9 +20,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
 from .dedup import _cosine
+from .topk import ranked_topk
 
 
 def _as_double_array(vec: list[float]) -> Column:
@@ -43,16 +43,9 @@ def cosine_topk(
         F.col(key_col).alias("key"),
         _cosine(F.col(emb_col), q).alias("cosine"),
     )
-    # sort+limit plans TakeOrderedAndProject (per-partition heap top-k +
-    # driver merge) — never serializes the full scored set through one
-    # task the way a global row_number window would. The rank window then
-    # runs over exactly k rows; `key % 1` (constant per row but NOT
-    # foldable, unlike lit(1)) keeps the partition spec non-empty so the
-    # single-partition WindowExec warning never fires — scale-safe by
-    # construction: input is already <= k.
-    top = scored.orderBy(F.desc("cosine"), F.asc("key")).limit(k)
-    w = W.partitionBy(F.col("key") % 1).orderBy(F.desc("cosine"), F.asc("key"))
-    return top.withColumn("rank", F.row_number().over(w))
+    # TakeOrderedAndProject + k-row rank window (operators/topk.py);
+    # key-type-agnostic partition spec — string url keys work under ANSI
+    return ranked_topk(scored, [F.desc("cosine"), F.asc("key")], k)
 
 
 def _sign_signature(col: Column, planes: list[list[float]]) -> Column:

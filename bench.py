@@ -82,15 +82,19 @@ def run_bench(cores: str, sf_dir: str, names: list[str]) -> dict:
     # criterion warmup=3s methodology (docs/BENCHMARK_BASELINE.md)
     # min-of-2 measured runs: the sandbox host carries background load, so
     # a single sample can be 5-10x off; min is the least-noisy estimator
+    from fingerprint_spark.caching import release_tracked
+
     timings: dict[str, float] = {}
     for name in names:
         _materialize(queries[name](spark, sf_dir))
+        release_tracked(spark)  # warm-up caches must not feed the timed run
         best = float("inf")
         for _ in range(2):
             df = queries[name](spark, sf_dir)
             t0 = time.perf_counter()
             _materialize(df)
             best = min(best, time.perf_counter() - t0)
+            release_tracked(spark)  # paired unpersist (ADVICE round 2)
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)

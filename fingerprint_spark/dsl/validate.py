@@ -22,6 +22,42 @@ class ValidationError(ValueError):
         self.code = code
 
 
+_INVALID = object()  # sentinel: pattern refused by the executing engine
+
+
+def _regex_matches_empty(pat: str):
+    """Can ``pat`` match the empty string — judged by the engine that
+    will EXECUTE it (Java regex via the active JVM when a SparkSession
+    is up; rlike/split/regexp_extract_all all run java.util.regex).
+
+    Returns True / False, ``_INVALID`` if the executing engine refuses
+    the pattern, or None when undeterminable (no JVM and Python ``re``
+    can't parse Java-only syntax like possessive quantifiers or \\h —
+    callers must then accept with a warning, not refuse: the round-2
+    failure mode was E_INVALID_YAML on rules Java runs fine)."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        try:
+            jpat = spark._jvm.java.util.regex.Pattern.compile(pat)
+            return bool(jpat.matcher("").find())
+        except Exception:  # PatternSyntaxException via py4j
+            return _INVALID
+    import re
+    import warnings
+
+    try:
+        return re.search(pat, "") is not None
+    except re.error as e:
+        warnings.warn(
+            f"pattern {pat!r} not checkable without a JVM (python re: {e}); "
+            "accepting — java.util.regex is authoritative at execution",
+            stacklevel=2,
+        )
+        return None
+
+
 _REQUIRED_PARAMS: dict[str, list[str]] = {
     "filename_regex": ["pattern"],
     "sheet_exists": ["sheet"],
@@ -119,18 +155,23 @@ def validate_definition(d: FingerprintDefinition) -> None:
                 pat = a.param(pname)
                 if pat is None:
                     continue
-                try:
-                    if _re.search(str(pat), "") is not None:
-                        raise ValidationError(
-                            "E_INVALID_YAML",
-                            f"assertion {a.name}: text_near {pname} pattern "
-                            f"{pat!r} can match the empty string",
-                        )
-                except _re.error as e:
+                empty = _regex_matches_empty(str(pat))
+                if empty is True:
                     raise ValidationError(
                         "E_INVALID_YAML",
-                        f"assertion {a.name}: bad {pname} regex: {e}",
+                        f"assertion {a.name}: text_near {pname} pattern "
+                        f"{pat!r} can match the empty string",
                     )
+                if empty is _INVALID:
+                    raise ValidationError(
+                        "E_INVALID_YAML",
+                        f"assertion {a.name}: {pname} pattern {pat!r} does "
+                        "not compile in the executing regex engine",
+                    )
+                # empty is None: Java-only syntax with no JVM up — accept
+                # with a warning (the executing engine is authoritative;
+                # Python `re` rejecting a*+/\h/\R must not refuse a rule
+                # Java runs fine, ADVICE round 2)
     extract_names = {e.name for e in d.extract}
     if len(extract_names) != len(d.extract):
         raise ValidationError("E_INVALID_YAML", "duplicate extract names")

@@ -692,7 +692,7 @@ def q_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     space-joined string is injective per shingle and the distinct /
     intersect / union COUNTS (all the query emits) are identical modulo
     a 64-bit hash collision (~1e-9 at this corpus size)."""
-    from pyspark import StorageLevel
+    from .caching import track_persist
 
     df = _doc(spark, sf_dir)
 
@@ -705,10 +705,9 @@ def q_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the shingle frame feeds BOTH sides of the adjacent-pair join:
     # persist so the (interpreted-HOF) shingle build runs once per doc,
-    # not twice — measured 2x+ end-to-end at sf0.1
-    s = df.select(
-        "doc_id", shingles(F.col("text")).alias("sh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # not twice — measured 2x+ end-to-end at sf0.1; released by the
+    # materializing caller (caching.release_tracked)
+    s = track_persist(df.select("doc_id", shingles(F.col("text")).alias("sh")))
     a = s.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = s.select((F.col("doc_id") - 1).alias("id_a"), F.col("sh").alias("sh_b"))
     j = a.join(b, "id_a")
@@ -812,34 +811,70 @@ FROM dirs WHERE dir LIKE '/corpus/src%'
 
 
 def q_infer_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Infer-mode candidate mining over html-wrapped documents
-    (rows-only: candidate type/params/support)."""
-    from .operators.infer import aggregate_candidates, observe
+    """Infer-mode candidate support counting, oracle-checked
+    (aggregator.rs:70-85: support = docs exhibiting the fact / total,
+    kept above a confidence floor). The first 200 docs are wrapped in
+    html whose headings are DERIVABLE from the doc columns (h1 constant,
+    h2 = 'Sec <doc_id%7>'), the REAL parse UDF + observer + support
+    aggregation run on the Spark side, and the oracle recomputes the
+    (candidate, n_docs, permille) table algebraically. Support floor 100
+    permille keeps both the corpus-wide h1 (1000) and the 7 rotating h2
+    headings (~143 each) — a support table with actual variance, not a
+    constant row."""
+    from .operators.infer import _support, observe
     from .parse import parse_html_col
 
-    df = _doc(spark, sf_dir).limit(200)
+    df = _doc(spark, sf_dir).filter(F.col("doc_id") < 200)
     esc = F.regexp_replace(
         F.regexp_replace(F.regexp_replace(F.col("text"), "&", "&amp;"), "<", "&lt;"),
         ">", "&gt;",
     )
     html = F.concat(
-        F.lit("<html><body><h1>Corpus Document</h1><h2>Body</h2><p>"),
+        F.lit("<html><body><h1>Corpus Document</h1><h2>Sec "),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("</h2><p>"),
         esc, F.lit("</p></body></html>"),
     )
     parsed = df.select(
         F.col("doc_id").cast("string").alias("url"),
         parse_html_col(html).alias("parsed"),
     )
-    cands = aggregate_candidates(observe(parsed), min_confidence=0.8)
-    rows = [
-        (c["type"], str(sorted(c["params"].items())), float(c["support"]))
-        for c in cands["assertions"]
-    ]
-    return spark.createDataFrame(rows, "type string, params string, support double")
+    obs = observe(parsed)
+    total = obs.count()
+    sup = _support(obs, F.col("headings"), "candidate")
+    # permille from the integer doc count, never the double fraction —
+    # floor(n*1000/total) is exact on both engines
+    return sup.select(
+        "candidate",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.floor(F.col("n") * 1000 / F.lit(total)).cast("bigint").alias(
+            "support_permille"
+        ),
+    ).filter(F.col("support_permille") >= 100)
 
 
-ORACLE_QUERIES.update({"struct_check": (q_struct_check, sql_struct_check)})
-ROWS_ONLY_QUERIES.update({"infer_candidates": q_infer_candidates})
+def sql_infer_candidates() -> str:
+    return """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+t AS (SELECT count(*) AS total FROM d),
+h AS (
+  SELECT doc_id, 'Corpus Document' AS candidate FROM d
+  UNION ALL
+  SELECT doc_id, 'Sec ' || (doc_id % 7)::varchar FROM d)
+SELECT candidate, count(DISTINCT doc_id)::bigint AS n_docs,
+       floor(count(DISTINCT doc_id) * 1000 / t.total)::bigint
+         AS support_permille
+FROM h, t GROUP BY candidate, t.total
+HAVING floor(count(DISTINCT doc_id) * 1000 / t.total) >= 100
+"""
+
+
+ORACLE_QUERIES.update(
+    {
+        "struct_check": (q_struct_check, sql_struct_check),
+        "infer_candidates": (q_infer_candidates, sql_infer_candidates),
+    }
+)
 
 
 def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -85,7 +85,7 @@ def minhash_candidates(
     if num_hashes % bands != 0:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
-    from pyspark import StorageLevel
+    from ..caching import track_persist
 
     sig = df.select(
         F.col(key_col).alias("key"),
@@ -93,8 +93,10 @@ def minhash_candidates(
     )
     # consumed twice (banding + pair rejoin): persist so the signature
     # UDF runs ONCE. Compact frame — key + 64 longs ≈ 550 B/doc,
-    # disk-backed at scale.
-    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    # disk-backed at scale; released by the materializing caller via
+    # caching.release_tracked (round-2 ADVICE: never-unpersisted frames
+    # accumulate across repeated runs in a long-lived driver)
+    sig = track_persist(sig)
     # band_hash = xxhash64 of the band's slice, JVM-side. The explode
     # carries ONLY (key, band, band_hash) ≈ 24 B/row through the bucket
     # shuffle — NOT the full signature (which would be ~sig_size × bands
@@ -195,12 +197,15 @@ def ngram_jaccard_verify(
             )
         )
 
-    from pyspark import StorageLevel
+    from ..caching import track_persist
 
-    # consumed by both join branches — persist so shingles build once
-    d = docs.select(
-        F.col(key_col).alias("key"), shingles(F.col(text_col)).alias("sh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # consumed by both join branches — persist so shingles build once;
+    # released by the materializing caller (caching.release_tracked)
+    d = track_persist(
+        docs.select(
+            F.col(key_col).alias("key"), shingles(F.col(text_col)).alias("sh")
+        )
+    )
     out = (
         pairs.join(d.withColumnRenamed("sh", "sh_a"), pairs.key_a == d.key)
         .drop("key")

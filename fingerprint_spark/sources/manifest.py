@@ -36,12 +36,17 @@ def _refusal(line: F.Column) -> F.Column:
     rec = F.from_json(line, MANIFEST_SCHEMA)
     raw = lambda field: F.get_json_object(line, f"$.{field}")  # noqa: E731
 
-    def is_json_string(field: str) -> F.Column:
-        # get_json_object strips quotes from string values; re-probe the
-        # raw text: a JSON string field serializes with a leading quote
-        return F.get_json_object(line, f"$.{field}").isNotNull() & F.regexp_like(
-            line, F.lit(f'"{field}"\\s*:\\s*"')
+    def json_type(field: str) -> F.Column:
+        # EXACT per-field JSON type via the variant reader (the old
+        # regexp_like('"field"\s*:\s*"') probe matched the field name
+        # anywhere in the line, so {"version": 1, "path": "...\"version\":
+        # \"x\"..."} passed the string-type check for a numeric field)
+        return F.schema_of_variant(
+            F.try_variant_get(F.try_parse_json(line), f"$.{field}", "variant")
         )
+
+    def is_json_string(field: str) -> F.Column:
+        return json_type(field) == "STRING"
 
     skipped_raw = raw("_skipped")
     version_ok = F.col("_v").isin(*SUPPORTED_VERSIONS)
@@ -57,7 +62,7 @@ def _refusal(line: F.Column) -> F.Column:
         .when(~is_json_string("version"), "E_BAD_INPUT:invalid_field_type:version")
         .when(~version_ok, F.concat(F.lit("E_BAD_INPUT:unknown_version:"), rec["version"]))
         .when(
-            skipped_raw.isNotNull() & ~skipped_raw.isin("true", "false"),
+            skipped_raw.isNotNull() & (json_type("_skipped") != "BOOLEAN"),
             "E_BAD_INPUT:invalid_field_type:_skipped",
         )
         .when(

@@ -98,13 +98,23 @@ def _session_fn(gap_s: int):
                 if start is None:
                     start, last, n = es, es, 1
                 elif es - last > gap_s:
+                    # `last` is the RUNNING MAX, so only a genuinely
+                    # later-than-gap event splits; a late (es < last)
+                    # event can never make this branch fire
                     closed.append(
                         {"user_id": user, "session_start": start,
                          "session_end": last, "n_events": n}
                     )
                     start, last, n = es, es, 1
                 else:
-                    last, n = es, n + 1
+                    # merge — handles late-but-inside-watermark events
+                    # from earlier micro-batches: extend the session
+                    # envelope in BOTH directions instead of regressing
+                    # session_end backward (which split later on-time
+                    # events into spurious new sessions)
+                    start = min(start, es)
+                    last = max(last, es)
+                    n += 1
         target_ms = (last + gap_s) * 1000
         if target_ms <= state.getCurrentWatermarkMs():
             # the watermark already passed last + gap: this session is

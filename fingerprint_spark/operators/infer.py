@@ -143,6 +143,7 @@ def aggregate_candidates(
         .filter(F.col("rn") == 1)
     )
     mode_rows = (
+        # driver-bounded: one row per DISTINCT table column count
         col_modes.groupBy("c").count().orderBy(F.desc("count"), F.asc("c")).collect()
     )
     if mode_rows:

@@ -160,7 +160,7 @@ def kmeans_centroids(
             )
             .groupBy("cell", "dim")
             .agg(F.avg(F.col("val").cast("double")).alias("m"))
-            .collect()
+            .collect()  # driver-bounded: n_cells x dim rows
         )
         new = [list(c) for c in cents]
         seen = set()

@@ -43,7 +43,9 @@ HEADLINE = [
     "orders_revenue_topn",
     "jaccard_adjacent",
     "extract_hash",       # extraction anchors + content hash (round 2)
-    "xlsx_grid",          # xlsx encode/decode roundtrip (round 2)
+    "xlsx_decode",        # xlsx DECODE over pre-materialized bytes
+                          # (round 3; the encode+decode roundtrip row
+                          # xlsx_grid remains in the correctness set)
 ]
 
 

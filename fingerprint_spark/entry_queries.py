@@ -1248,55 +1248,81 @@ ORACLE_QUERIES.update({"cosine_pairs": (q_cosine_pairs, sql_cosine_pairs)})
 
 
 def q_media_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal image path, oracle-checked: per doc, a REAL PNG is
-    built (deterministic gray level doc_id % 256, height 4 + doc_id % 5,
-    width 6), decoded back through the engine's stdlib PNG codec
-    (operators/media_codecs.py), and dimensions + pixel-derived luma
-    emitted as exact integers the oracle recomputes algebraically."""
-    from .operators.media_codecs import decode_png, encode_png
+    """Multimodal image path, oracle-checked: per doc, a REAL PNG
+    (deterministic gray level doc_id % 256, height 4 + doc_id % 5,
+    width 6) AND a REAL baseline JPEG (gray level (doc_id*7) % 256,
+    height 3 + doc_id % 4, width 5, quality 100 — all-ones quant table,
+    so a flat image is DC-only and roundtrips EXACTLY) are built,
+    decoded back through the magic-byte dispatch codec
+    (media_codecs.decode_image_bytes), and dimensions + pixel-derived
+    luma emitted as exact integers the oracle recomputes algebraically."""
+    from .operators.jpeg_codec import encode_jpeg
+    from .operators.media_codecs import decode_image_bytes, encode_png
 
-    @F.pandas_udf("binary")
-    def to_png(doc_id: pd.Series) -> pd.Series:
+    @F.pandas_udf("png binary, jpeg binary")
+    def build(doc_id: pd.Series) -> pd.DataFrame:
         import numpy as np
 
-        out = []
+        rows = []
         for d in doc_id:
             v = int(d) % 256
             h = 4 + int(d) % 5
-            out.append(encode_png(np.full((h, 6, 1), v, dtype=np.uint8)))
-        return pd.Series(out)
-
-    @F.pandas_udf("width int, height int, luma_milli bigint")
-    def decode(payloads: pd.Series) -> pd.DataFrame:
-        rows = []
-        for p in payloads:
-            f = decode_png(bytes(p))
-            px = f["pixels"]
-            mean = float(px.mean())
+            jv = (int(d) * 7) % 256
+            jh = 3 + int(d) % 4
             rows.append(
                 {
-                    "width": f["width"],
-                    "height": f["height"],
-                    "luma_milli": int(mean * 1000 // 255),
+                    "png": encode_png(np.full((h, 6, 1), v, dtype=np.uint8)),
+                    "jpeg": encode_jpeg(
+                        np.full((jh, 5, 1), jv, dtype=np.uint8), quality=100
+                    ),
                 }
             )
         return pd.DataFrame(rows)
 
-    df = _doc(spark, sf_dir).select(
-        "doc_id", decode(to_png(F.col("doc_id"))).alias("f")
+    @F.pandas_udf(
+        "width int, height int, luma_milli bigint, "
+        "j_width int, j_height int, j_luma_milli bigint"
+    )
+    def decode(png: pd.Series, jpeg: pd.Series) -> pd.DataFrame:
+        rows = []
+        for p, j in zip(png, jpeg):
+            f = decode_image_bytes(bytes(p))
+            g = decode_image_bytes(bytes(j))
+            rows.append(
+                {
+                    "width": f["width"],
+                    "height": f["height"],
+                    "luma_milli": int(float(f["pixels"].mean()) * 1000 // 255),
+                    "j_width": g["width"],
+                    "j_height": g["height"],
+                    "j_luma_milli": int(float(g["pixels"].mean()) * 1000 // 255),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    built = _doc(spark, sf_dir).select(
+        "doc_id", build(F.col("doc_id")).alias("b")
+    )
+    df = built.select(
+        "doc_id", decode(F.col("b.png"), F.col("b.jpeg")).alias("f")
     )
     return df.select(
         "doc_id",
         F.col("f.width").alias("width"),
         F.col("f.height").alias("height"),
         F.col("f.luma_milli").alias("luma_milli"),
+        F.col("f.j_width").alias("j_width"),
+        F.col("f.j_height").alias("j_height"),
+        F.col("f.j_luma_milli").alias("j_luma_milli"),
     )
 
 
 def sql_media_roundtrip() -> str:
     return """
 SELECT doc_id, 6 AS width, (4 + doc_id % 5)::int AS height,
-  ((doc_id % 256) * 1000 // 255)::bigint AS luma_milli
+  ((doc_id % 256) * 1000 // 255)::bigint AS luma_milli,
+  5 AS j_width, (3 + doc_id % 4)::int AS j_height,
+  (((doc_id * 7) % 256) * 1000 // 255)::bigint AS j_luma_milli
 FROM documents
 """
 

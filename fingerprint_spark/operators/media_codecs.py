@@ -1,4 +1,5 @@
-"""REAL media codecs from the stdlib — PNG, BMP, WAV.
+"""REAL media codecs from the stdlib — PNG, BMP, WAV (+ JPEG in
+jpeg_codec.py).
 
 The container ships no imaging/audio libraries, but the formats a
 training pipeline meets most don't need one:
@@ -10,9 +11,11 @@ training pipeline meets most don't need one:
 - BMP: uncompressed 24-bit BITMAPINFOHEADER, bottom-up rows padded to 4.
 - WAV: the stdlib ``wave`` module (rate/channels/width/frames), samples
   via numpy frombuffer.
+- JPEG: baseline sequential huffman + IDCT from the public T.81 spec
+  (operators/jpeg_codec.py) — grayscale / 4:4:4 / 4:2:0.
 
-JPEG/MP3/MP4 genuinely require codec libraries and remain honestly
-stubbed (deterministic fakes keep the Spark data path testable).
+MP3/MP4 genuinely require codec libraries and remain honestly stubbed
+(deterministic fakes keep the Spark data path testable).
 
 Also includes a minimal deterministic PNG writer (filter 0 + zlib) for
 fixtures, and a real nearest-neighbor resize over the decoded array.
@@ -162,13 +165,17 @@ def decode_bmp(payload: bytes) -> dict:
 
 
 def decode_image_bytes(payload: bytes) -> dict:
-    """Dispatch by magic bytes: PNG or BMP. Raises ValueError for other
-    formats (JPEG etc. need real codec libraries)."""
+    """Dispatch by magic bytes: PNG, BMP or baseline JPEG (jpeg_codec).
+    Raises ValueError for other formats."""
     if payload.startswith(_PNG_SIG):
         return decode_png(payload)
     if payload.startswith(b"BM"):
         return decode_bmp(payload)
-    raise ValueError("unsupported image format (stdlib codecs: png, bmp)")
+    if payload.startswith(b"\xff\xd8"):
+        from .jpeg_codec import decode_jpeg
+
+        return decode_jpeg(payload)
+    raise ValueError("unsupported image format (stdlib codecs: png, bmp, jpeg)")
 
 
 def resize_nearest(pixels: "np.ndarray", target_w: int, target_h: int) -> "np.ndarray":

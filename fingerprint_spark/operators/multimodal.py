@@ -1,13 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-Codec status (round 2): PNG and BMP image decode, nearest-neighbor
-resize, and WAV audio decode are REAL, stdlib-only implementations
-(operators/media_codecs.py — zlib+struct for PNG chunks/filters, the
-wave module for audio). JPEG/MP3/MP4 genuinely require codec libraries
-this container doesn't ship; those paths keep the deterministic fake
-decoder (stable pseudo-content from the bytes hash) so the full Spark
-data path stays testable, and real-codec calls on unsupported bytes are
-a ROW outcome (null features), never a task failure.
+Codec status (round 3): PNG, BMP and baseline JPEG image decode,
+nearest-neighbor resize, and WAV audio decode are REAL, stdlib-only
+implementations (operators/media_codecs.py + jpeg_codec.py — zlib+
+struct for PNG, huffman+IDCT from the T.81 spec for JPEG, the wave
+module for audio). MP3/MP4 genuinely require codec libraries this
+container doesn't ship; those paths keep the deterministic fake decoder
+(stable pseudo-content from the bytes hash) so the full Spark data path
+stays testable, and real-codec calls on unsupported bytes are a ROW
+outcome (null features), never a task failure.
 
 Design for 100 TB: media bytes NEVER shuffle — every operator here is a
 narrow mapInPandas producing compact features (dims, hashes, frame
@@ -50,10 +51,11 @@ FRAME_SAMPLE_DDL = (
 
 
 def decode_image(payload: bytes) -> dict:
-    """REAL decode for PNG and BMP (stdlib codecs, see media_codecs.py);
-    mean_luma from actual pixel data. JPEG/WebP genuinely need codec
-    libraries absent from this container — those bytes raise ValueError
-    (callers map to a decode-failure row, never a task failure)."""
+    """REAL decode for PNG, BMP and baseline JPEG (stdlib codecs, see
+    media_codecs.py / jpeg_codec.py); mean_luma from actual pixel data.
+    WebP/AVIF genuinely need codec libraries absent from this container
+    — those bytes raise ValueError (callers map to a decode-failure
+    row, never a task failure)."""
     from .media_codecs import decode_image_bytes
 
     d = decode_image_bytes(payload)

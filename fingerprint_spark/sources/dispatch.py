@@ -63,7 +63,8 @@ def parse_by_format(
       assertions on a pdf need text_path; a refusal, never a crash)
     - ``sheets``: grid view for csv rows (and the csv-text fallback view
       for txt/tsv rows when csv_fallback is on); with binary_formats,
-      also the decoded grid for xlsx rows (stdlib zip+XML codec)
+      also the decoded grid for xlsx/xls rows (magic-byte auto-detect:
+      stdlib zip+XML codec or the BIFF8 CFB codec, xlsx.rs:12-21)
     - ``pdf``: (binary_formats only) page_count + Info metadata struct
       for pdf rows, parsed from raw bytes
     """

@@ -271,11 +271,25 @@ def make_xlsx(sheets: dict[str, list[list[str]]]) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+def excel_to_sheets(payload: bytes) -> dict[str, list[list[str]]]:
+    """Magic-byte auto-detect (the calamine ``open_workbook_auto``
+    surface, xlsx.rs:12-21): zip 'PK' -> xlsx codec, CFB D0CF11E0 ->
+    legacy BIFF8 .xls codec (sources/xls.py). ValueError otherwise."""
+    if payload[:2] == b"PK":
+        return xlsx_to_sheets(payload)
+    from .xls import CFB_MAGIC, xls_to_sheets
+
+    if payload[: len(CFB_MAGIC)] == CFB_MAGIC:
+        return xls_to_sheets(payload)
+    raise ValueError("not a spreadsheet (neither zip/xlsx nor CFB/xls magic)")
+
+
 def sheets_from_xlsx_col(payload):
-    """binary xlsx column -> sheets map<string, array<array<string>>>
-    (null on undecodable bytes — the E_PARSE skip analog, never a task
-    failure). Arrow-batched pandas UDF; decode is per-document Python by
-    nature, everything downstream is Column expressions."""
+    """binary xlsx/xls column -> sheets map<string, array<array<string>>>
+    (auto-detected by magic; null on undecodable bytes — the E_PARSE
+    skip analog, never a task failure). Arrow-batched pandas UDF; decode
+    is per-document Python by nature, everything downstream is Column
+    expressions."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -289,7 +303,7 @@ def sheets_from_xlsx_col(payload):
                 out.append(None)
                 continue
             try:
-                out.append(xlsx_to_sheets(bytes(p)))
+                out.append(excel_to_sheets(bytes(p)))
             except ValueError:
                 out.append(None)
         return pd.Series(out)

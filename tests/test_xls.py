@@ -1,0 +1,112 @@
+"""Legacy .xls (CFB + BIFF8) codec — real-byte tests.
+
+Round-2 VERDICT #5: dispatch routed .xls to the zip codec, which
+refused BIFF bytes; the reference's calamine opens both
+(src/document/xlsx.rs:12-21). These tests feed REAL CFB+BIFF8 bytes
+(make_xls writes a genuine container: ministream for small workbooks,
+FAT chains for large, SST split into CONTINUE records) through the
+same reader a real corpus would hit.
+"""
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from fingerprint_spark.sources.xls import (
+    _SSTCursor,
+    cfb_streams,
+    make_xls,
+    xls_to_sheets,
+)
+from fingerprint_spark.sources.xlsx import excel_to_sheets, make_xlsx
+
+
+def test_roundtrip_ministream():
+    sheets = {
+        "Data": [["id", "source"], ["1", "src1_0"], ["2.5", "naïve text"]],
+        "Meta": [["k", "v"], ["rows", "3"]],
+    }
+    b = make_xls(sheets)
+    assert b.startswith(b"\xd0\xcf\x11\xe0")
+    assert xls_to_sheets(b) == sheets
+
+
+def test_roundtrip_large_fat_stream_and_sst_continue():
+    """>4096-byte workbook exercises the regular-FAT stream path; >8000
+    bytes of unique strings forces SST + CONTINUE records."""
+    big = {
+        "Big": [
+            [f"value_{r}_{c}_xxxxxxxxxx" for c in range(6)] for r in range(120)
+        ]
+    }
+    g = xls_to_sheets(make_xls(big))
+    assert g["Big"][0][0] == "value_0_0_xxxxxxxxxx"
+    assert g["Big"][119][5] == "value_119_5_xxxxxxxxxx"
+    assert len(g["Big"]) == 120
+
+
+def test_wide_unicode_strings():
+    sheets = {"W": [["日本語テキスト", "ascii"], ["mixé", "日本"]]}
+    assert xls_to_sheets(make_xls(sheets)) == sheets
+
+
+def test_sst_cursor_mid_string_continuation():
+    """A string split INSIDE character data restarts with a fresh flags
+    byte on the continuation chunk — including a compressed->wide
+    switch (MS-XLS 2.5.293)."""
+    head = struct.pack("<I", 1) + struct.pack("<HB", 6, 0) + b"ABC"
+    for cont in (bytes([0]) + b"DEF", bytes([1]) + "DEF".encode("utf-16le")):
+        cur = _SSTCursor([head, cont])
+        assert struct.unpack("<I", cur.read_raw(4))[0] == 1
+        assert cur.read_string() == "ABCDEF"
+
+
+def test_garbage_and_biff5_refused():
+    with pytest.raises(ValueError, match="not a compound file"):
+        xls_to_sheets(b"PK\x03\x04 a zip, not cfb")
+    with pytest.raises(ValueError, match="truncated"):
+        xls_to_sheets(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1short")
+    # a CFB whose only stream is 'Book' (BIFF5) must refuse clearly:
+    # rename the directory entry in place (name field starts the entry,
+    # u16 byte-length-incl-null at entry+64)
+    b = bytearray(make_xls({"S": [["x"]]}))
+    i = b.find("Workbook".encode("utf-16le"))
+    b[i : i + 16] = "Book".encode("utf-16le") + b"\x00" * 8
+    struct.pack_into("<H", b, i + 64, len("Book".encode("utf-16le")) + 2)
+    assert "Book" in cfb_streams(bytes(b))
+    with pytest.raises(ValueError, match="BIFF5"):
+        xls_to_sheets(bytes(b))
+
+
+def test_excel_auto_detect_both_formats():
+    grid = {"Data": [["a", "b"], ["1", "two"]]}
+    assert excel_to_sheets(make_xls(grid)) == grid
+    assert excel_to_sheets(make_xlsx(grid)) == grid
+    with pytest.raises(ValueError, match="neither"):
+        excel_to_sheets(b"%PDF-1.4 nope")
+
+
+def test_dispatch_xls_end_to_end(spark):
+    """.xls rows through parse_by_format(binary_formats=True): the same
+    grid surface the assertion family reads from xlsx/csv — and broken
+    bytes stay a null-sheets row (E_PARSE path), never a task failure."""
+    from fingerprint_spark.operators.assertions import _cell, sheet_exists
+    from fingerprint_spark.sources.dispatch import parse_by_format
+
+    good = make_xls({"Data": [["id", "val"], ["7", "seven"]]})
+    rows = [
+        ("https://x.test/a.xls", bytearray(good)),
+        ("https://x.test/b.xls", bytearray(b"\xd0\xcf\x11\xe0 broken")),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = parse_by_format(df, binary_formats=True)
+    got = {r["url"]: r for r in out.select(
+        "url", "format",
+        sheet_exists(F.col("sheets"), "data").alias("has"),
+        _cell(F.col("sheets"), "Data", "B2").alias("b2"),
+    ).collect()}
+    a = got["https://x.test/a.xls"]
+    assert a["format"] == "xlsx" and a["has"] is True and a["b2"] == "seven"
+    b = got["https://x.test/b.xls"]
+    assert b["has"] is not True and b["b2"] is None  # null sheets row

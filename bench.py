@@ -206,6 +206,121 @@ def run_scaling(sf_dir: str, n_small: int = 8, n_large: int = 32) -> dict:
     }
 
 
+SF1_DIR = "/tmp/fps_sf1"
+
+# headline queries runnable on the replicated (documents/events/
+# embeddings) sf1.0 set; the TPC-H-shaped ones (orders/lineitem dims)
+# can't be key-replicated without changing join semantics
+SF1_QUERIES = [
+    "html_pipeline", "pipeline_keep", "exact_dedup", "sketches",
+    "embedding_topk", "langid", "gopher_flags", "events_hourly",
+    "jaccard_adjacent", "extract_hash", "xlsx_decode",
+]
+
+
+def _ensure_sf1(sf_dir: str) -> None:
+    """10x replicas of the sf0.1 documents/events/embeddings tables with
+    key offsets (doc_id/event_id/user_id/vec_id), so every per-key
+    cardinality stays constant and a linear engine should scale ~10x."""
+    from pyspark.sql import functions as F
+
+    from fingerprint_spark.session import get_spark
+
+    ok = os.path.join(SF1_DIR, "_OK")
+    if os.path.exists(ok):
+        return
+    spark = get_spark("fps_sf1_gen", cores="24")
+    reps = spark.range(10).select(F.col("id").alias("rep"))
+
+    def replicate(table: str, offsets: dict[str, int]) -> None:
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        big = df.crossJoin(F.broadcast(reps))
+        for col, span in offsets.items():
+            big = big.withColumn(col, F.col(col) + F.col("rep") * span)
+        big.drop("rep").repartition(64).write.mode("overwrite").parquet(
+            f"{SF1_DIR}/{table}.parquet"
+        )
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_vec = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev_span = ev.agg(F.max("event_id"), F.max("user_id")).first()
+    replicate("documents", {"doc_id": n_docs})
+    replicate("embeddings", {"vec_id": n_vec})
+    replicate(
+        "events",
+        {"event_id": int(ev_span[0]) + 1, "user_id": int(ev_span[1]) + 1},
+    )
+    spark.stop()
+    with open(ok, "w") as f:
+        f.write("ok\n")
+
+
+def run_skew_join(n_docs: int = SCALING_DOCS) -> dict:
+    """Deliberately skewed-host join at stress size: ~25% of the corpus
+    shares one host (corpus.py HOSTS[0]); join docs to a per-host rule
+    table with broadcast DISABLED so it plans a shuffle join with one
+    hot key, and compare AQE on (skew-split) vs off."""
+    from pyspark.sql import functions as F
+
+    from fingerprint_spark.session import get_spark
+
+    _ensure_scaling_corpus()
+    out = {}
+    for aqe in ("true", "false"):
+        spark = get_spark(f"fps_skew_{aqe}", cores="32")
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # the hot partition here is ~10^2 MB; at 100 TB it is ~10^2 GB
+        # and the DEFAULT thresholds (256MB, 5x median) fire on their
+        # own. Scale the thresholds down with the data so the run
+        # demonstrates the actual split behavior, not just the config:
+        # the hot host is 25% of docs vs ~10.7% for the others (2.3x
+        # median), so factor=2 + 16MB threshold mirrors 100-TB defaults.
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m"
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        # carry the TEXT through the shuffle — the realistic per-host
+        # shape (quota/enrich ops shuffle documents by host)
+        docs = spark.read.parquet(SCALING_CORPUS).select(
+            "url", F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host"),
+            "text",
+        )
+        hosts = docs.select("host").distinct()
+        rules = hosts.crossJoin(
+            spark.range(10).select(F.col("id").alias("rule_id"))
+        ).withColumn("w", F.xxhash64("host", "rule_id") % 100)
+        # aggregate on rule_id, NOT host: an agg on the join key itself
+        # would make the skew split illegal (it would break the hash
+        # partitioning the aggregate reuses) and AQE would skip it
+        j = docs.join(rules, "host").groupBy("rule_id").agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("text") * F.col("w")).alias("s"),
+        )
+        t0 = time.perf_counter()
+        rows = j.collect()  # driver-bounded: one row per rule_id
+        dt = time.perf_counter() - t0
+        # after collect, THIS execution's adaptive plan is final — the
+        # skew-split marker is only visible on the executed instance
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        out[aqe] = {
+            "sec": round(dt, 3),
+            "skew_handled": "skew=true" in plan,
+            "n_groups": len(rows),
+        }
+        spark.stop()
+    return {
+        "metric": "skewed_host_join",
+        "n_docs": n_docs,
+        "aqe_on_sec": out["true"]["sec"],
+        "aqe_off_sec": out["false"]["sec"],
+        "aqe_skew_split_in_plan": out["true"]["skew_handled"],
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -214,6 +329,8 @@ def main() -> None:
                     help="comma-separated subset of headline queries")
     ap.add_argument("--scaling", action="store_true",
                     help="run the N vs 4N scaling measurement")
+    ap.add_argument("--stress", action="store_true",
+                    help="sf1.0 (10x) stress leg + skewed-host AQE join")
     ap.add_argument("--corpus-pipeline", default=None,
                     help="time the full pipeline over a corpus parquet")
     # default N=4 -> 4N=16: the sandbox host carries ~8-13 cores of
@@ -225,6 +342,14 @@ def main() -> None:
 
     if args.scaling:
         print(json.dumps(run_scaling(args.sf_dir, args.n_small, args.n_large)))
+        return
+    if args.stress:
+        _ensure_sf1(args.sf_dir)
+        res = run_bench(str(args.cores), SF1_DIR, SF1_QUERIES)
+        res["metric"] = "sf1_stress_total_time"
+        res["sf"] = 1.0
+        res["skew_join"] = run_skew_join()
+        print(json.dumps(res))
         return
     if args.corpus_pipeline:
         print(json.dumps(run_corpus_pipeline(str(args.cores), args.corpus_pipeline)))

@@ -94,9 +94,11 @@ def test_metadata_key_lookup_case_insensitive_missing_false(spark):
     assert not _run(spark, df, env, "metadata_regex", {"key": "NonexistentKey", "pattern": ".+"})
 
 
-def test_text_near_refuses_empty_matching_patterns():
+def test_text_near_refuses_empty_matching_patterns(spark):
     """Zero-width-capable text_near patterns (a*, bare ^) desync the
-    positional span reconstruction — refused at validation."""
+    positional span reconstruction — refused at validation. Judged by
+    the EXECUTING engine (java.util.regex via the active JVM, round-3
+    ADVICE fix), hence the spark fixture."""
     from fingerprint_spark.dsl.model import FingerprintDefinition
 
     def rule(anchor, value):
@@ -113,6 +115,6 @@ def test_text_near_refuses_empty_matching_patterns():
         validate_definition(rule("x*", r"\d+"))
     with pytest.raises(ValidationError, match="empty string"):
         validate_definition(rule("Anchor", "^"))
-    with pytest.raises(ValidationError, match="bad value regex"):
+    with pytest.raises(ValidationError, match="does not compile"):
         validate_definition(rule("Anchor", "[unclosed"))
     validate_definition(rule("Anchor", r"\d{4}"))  # sane patterns pass

@@ -1327,8 +1327,80 @@ FROM documents
 """
 
 
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-metadata path, oracle-checked: per doc a REAL minimal
+    MP4 (ftyp+moov boxes), MP3 (valid MPEG-1 Layer III frame headers)
+    and WebP (RIFF/VP8X) are built with doc-derived parameters, parsed
+    back through the engine's structural parsers
+    (operators/media_meta.py), and every extracted field recomputed
+    algebraically by the oracle."""
+    from .operators.media_meta import (
+        make_mp3, make_mp4, make_webp, parse_mp3, parse_mp4, parse_webp,
+    )
+
+    @F.pandas_udf(
+        "v_duration_ms bigint, v_width int, v_height int, "
+        "a_duration_ms bigint, a_n_frames bigint, i_width int, i_height int"
+    )
+    def meta(doc_id: pd.Series) -> pd.DataFrame:
+        rows = []
+        for d in doc_id:
+            d = int(d)
+            mp4 = make_mp4(
+                1000 + (d % 60) * 250,
+                16 * (1 + d % 4), 9 * (1 + d % 4),
+            )
+            mp3 = make_mp3(10 + d % 20)
+            webp = make_webp(100 + d % 50, 80 + d % 30)
+            v = parse_mp4(mp4)
+            a = parse_mp3(mp3)
+            i = parse_webp(webp)
+            rows.append(
+                {
+                    "v_duration_ms": v["duration_ms"],
+                    "v_width": v["width"],
+                    "v_height": v["height"],
+                    "a_duration_ms": a["duration_ms"],
+                    "a_n_frames": a["n_frames"],
+                    "i_width": i["width"],
+                    "i_height": i["height"],
+                }
+            )
+        return pd.DataFrame(rows)
+
+    df = _doc(spark, sf_dir).select("doc_id", meta(F.col("doc_id")).alias("m"))
+    return df.select(
+        "doc_id",
+        F.col("m.v_duration_ms").alias("v_duration_ms"),
+        F.col("m.v_width").alias("v_width"),
+        F.col("m.v_height").alias("v_height"),
+        F.col("m.a_duration_ms").alias("a_duration_ms"),
+        F.col("m.a_n_frames").alias("a_n_frames"),
+        F.col("m.i_width").alias("i_width"),
+        F.col("m.i_height").alias("i_height"),
+    )
+
+
+def sql_media_meta() -> str:
+    # mp3: MPEG-1 Layer III = 1152 samples/frame at 44100 Hz
+    return """
+SELECT doc_id,
+  (1000 + (doc_id % 60) * 250)::bigint AS v_duration_ms,
+  (16 * (1 + doc_id % 4))::int AS v_width,
+  (9 * (1 + doc_id % 4))::int AS v_height,
+  ((10 + doc_id % 20) * 1152 * 1000 // 44100)::bigint AS a_duration_ms,
+  (10 + doc_id % 20)::bigint AS a_n_frames,
+  (100 + doc_id % 50)::int AS i_width,
+  (80 + doc_id % 30)::int AS i_height
+FROM documents
+"""
+
+
 ORACLE_QUERIES.update(
-    {"media_roundtrip": (q_media_roundtrip, sql_media_roundtrip)}
+    {
+        "media_roundtrip": (q_media_roundtrip, sql_media_roundtrip),
+        "media_meta": (q_media_meta, sql_media_meta),
+    }
 )
 
 

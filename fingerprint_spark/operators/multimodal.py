@@ -95,9 +95,19 @@ def image_features(
                 raw = bytes(payload) if payload is not None else b""
                 try:
                     f = decode(raw)
-                except ValueError:  # undecodable bytes: a row outcome
-                    f = {"width": None, "height": None,
-                         "n_channels": None, "mean_luma": None}
+                except ValueError:
+                    # pixel decode unavailable — but WebP DIMENSIONS are
+                    # plain header fields (media_meta): metadata-real,
+                    # luma honestly null
+                    try:
+                        from .media_meta import parse_webp
+
+                        m = parse_webp(raw)
+                        f = {"width": m["width"], "height": m["height"],
+                             "n_channels": None, "mean_luma": None}
+                    except ValueError:  # undecodable: a row outcome
+                        f = {"width": None, "height": None,
+                             "n_channels": None, "mean_luma": None}
                 rows.append(
                     {
                         "media_id": mid,
@@ -137,18 +147,30 @@ def frame_sample(
     use_fake_codec: bool = True,
 ) -> DataFrame:
     """Video frame sampling plumbing: one output row per sampled frame.
-    The fake codec derives a deterministic duration from the payload hash
-    and emits frame digests; a real codec plugs into the same shape."""
+
+    use_fake_codec=True: duration derived from the payload hash.
+    use_fake_codec=False: the REAL mp4 box structure is parsed
+    (media_meta.parse_mp4 — mvhd duration), so sample COUNT and
+    timestamps are genuine; frame PIXELS would need an H.264 decoder
+    the container doesn't ship, so frame_hash stays a deterministic
+    digest of (bytes, ts) — the plumbing contract, honestly labeled.
+    Unparseable bytes contribute zero rows (a row outcome)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not use_fake_codec:  # pragma: no cover - stub
-            raise NotImplementedError("video codec not available")
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(payload) if payload is not None else b""
-                d = hashlib.sha256(raw).digest()
-                duration_ms = 500 + int.from_bytes(d[:2], "big") * 4
+                if use_fake_codec:
+                    d = hashlib.sha256(raw).digest()
+                    duration_ms = 500 + int.from_bytes(d[:2], "big") * 4
+                else:
+                    from .media_meta import parse_mp4
+
+                    try:
+                        duration_ms = parse_mp4(raw)["duration_ms"]
+                    except ValueError:
+                        continue  # undecodable: no frames for this row
                 n = min(max_frames, max(1, duration_ms // every_ms))
                 for i in range(n):
                     ts = i * every_ms
@@ -176,10 +198,14 @@ AUDIO_FEATURES_DDL = (
 
 
 def audio_features(df: DataFrame) -> DataFrame:
-    """REAL WAV decode (stdlib wave module) -> compact per-clip features;
-    undecodable payloads yield null features (decode failure is a row
-    outcome, not a task failure). Media bytes never shuffle."""
+    """Per-clip audio features: REAL WAV decode (stdlib wave module,
+    sample-accurate rms) or REAL MP3 frame-header walk (media_meta:
+    duration/rate/channels from every frame header; rms honestly null —
+    PCM needs a decoder). Undecodable payloads yield null features
+    (decode failure is a row outcome, not a task failure). Media bytes
+    never shuffle."""
     from .media_codecs import decode_wav
+    from .media_meta import parse_mp3
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -191,6 +217,17 @@ def audio_features(df: DataFrame) -> DataFrame:
                     rows.append({"media_id": mid, **{k: f[k] for k in (
                         "sample_rate", "n_channels", "n_frames",
                         "duration_ms", "rms")}})
+                    continue
+                except ValueError:
+                    pass
+                try:
+                    m = parse_mp3(raw)
+                    rows.append({
+                        "media_id": mid, "sample_rate": m["sample_rate"],
+                        "n_channels": m["channels"],
+                        "n_frames": m["n_frames"],
+                        "duration_ms": m["duration_ms"], "rms": None,
+                    })
                 except ValueError:
                     rows.append({
                         "media_id": mid, "sample_rate": None,

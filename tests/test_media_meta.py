@@ -1,0 +1,146 @@
+"""Structural container-metadata parsers (operators/media_meta.py):
+MP4 box walk, MP3 frame-header walk, WebP dimension headers — the
+metadata a corpus pipeline filters on, without a codec library. The
+fixture writers emit REAL minimal containers (spec-size boxes, valid
+frame syncs), so these are byte-path tests, not mock tests."""
+
+import struct
+
+import pytest
+
+from fingerprint_spark.operators.media_meta import (
+    make_mp3,
+    make_mp4,
+    make_webp,
+    parse_mp3,
+    parse_mp4,
+    parse_webp,
+)
+
+
+def test_mp4_roundtrip_with_video_track():
+    b = make_mp4(12_345, 640, 360)
+    m = parse_mp4(b)
+    assert m["duration_ms"] == 12_345
+    assert (m["width"], m["height"]) == (640, 360)
+    assert m["n_tracks"] == 1 and m["track_kinds"] == ["vide"]
+    assert m["brands"] == ["isom"]
+
+
+def test_mp4_audio_only_and_refusals():
+    m = parse_mp4(make_mp4(987))
+    assert m["duration_ms"] == 987 and m["n_tracks"] == 0
+    assert m["width"] is None
+    with pytest.raises(ValueError, match="no ftyp"):
+        parse_mp4(b"\x00\x00\x00\x08free")
+    # ftyp but no moov
+    with pytest.raises(ValueError, match="no moov"):
+        parse_mp4(struct.pack(">I4s", 16, b"ftyp") + b"isom\x00\x00\x02\x00")
+
+
+def test_mp3_frame_walk_vbr_and_id3():
+    b = make_mp3(25, bitrate_kbps=128, sample_rate=44100)
+    m = parse_mp3(b)
+    assert m["n_frames"] == 25
+    assert m["duration_ms"] == 25 * 1152 * 1000 // 44100
+    assert m["bitrate_kbps"] == 128 and m["sample_rate"] == 44100
+    assert m["channels"] == 2
+    # with an ID3v2 tag prepended (synchsafe size)
+    tag = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 20]) + b"\x00" * 20
+    assert parse_mp3(tag + b)["n_frames"] == 25
+    # mixed bitrates average (VBR)
+    vbr = make_mp3(10, 128) + make_mp3(10, 320)
+    assert parse_mp3(vbr)["bitrate_kbps"] == (128 + 320) // 2
+    with pytest.raises(ValueError, match="no frame sync"):
+        parse_mp3(b"\x00" * 100)
+
+
+def test_webp_variants():
+    m = parse_webp(make_webp(321, 99))
+    assert (m["width"], m["height"], m["variant"]) == (321, 99, "VP8X")
+    # hand-built VP8 lossy keyframe header
+    vp8 = (
+        b"\x00\x00\x00" + b"\x9d\x01\x2a"
+        + struct.pack("<HH", 320, 240)
+    )
+    b = b"RIFF" + struct.pack("<I", 12 + len(vp8)) + b"WEBP" + b"VP8 " \
+        + struct.pack("<I", len(vp8)) + vp8
+    m = parse_webp(b)
+    assert (m["width"], m["height"], m["variant"]) == (320, 240, "VP8")
+    # hand-built VP8L: bits = (w-1) | (h-1)<<14
+    bits = (511 - 1) | ((200 - 1) << 14)
+    vp8l = bytes([0x2F]) + struct.pack("<I", bits)
+    b = b"RIFF" + struct.pack("<I", 12 + len(vp8l)) + b"WEBP" + b"VP8L" \
+        + struct.pack("<I", len(vp8l)) + vp8l
+    m = parse_webp(b)
+    assert (m["width"], m["height"], m["variant"]) == (511, 200, "VP8L")
+    with pytest.raises(ValueError, match="RIFF"):
+        parse_webp(b"\x89PNG----------------")
+
+
+def test_audio_features_mp3_fallback(spark):
+    """audio_features: wav -> sample-accurate; mp3 -> header-real
+    duration/rate/channels with rms honestly null; garbage -> nulls."""
+    import numpy as np
+
+    from fingerprint_spark.operators.media_codecs import encode_wav
+    from fingerprint_spark.operators.multimodal import audio_features
+
+    wav = encode_wav(np.zeros(1600), sample_rate=16000)
+    mp3 = make_mp3(50, 128, 44100, stereo=False)
+    rows = [
+        ("w", "audio", "audio/wav", bytearray(wav), {}),
+        ("m", "audio", "audio/mpeg", bytearray(mp3), {}),
+        ("x", "audio", "audio/ogg", bytearray(b"OggS junk"), {}),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id string, kind string, mime string, payload binary, "
+        "meta map<string,string>"
+    )
+    got = {r["media_id"]: r for r in audio_features(df).collect()}
+    assert got["w"]["sample_rate"] == 16000 and got["w"]["rms"] == 0.0
+    assert got["m"]["sample_rate"] == 44100
+    assert got["m"]["n_channels"] == 1
+    assert got["m"]["duration_ms"] == 50 * 1152 * 1000 // 44100
+    assert got["m"]["rms"] is None
+    assert got["x"]["sample_rate"] is None
+
+
+def test_frame_sample_real_mp4_duration(spark):
+    """frame_sample with the real parser: sample count and timestamps
+    come from the actual mvhd duration; unparseable bytes contribute
+    zero rows."""
+    from fingerprint_spark.operators.multimodal import frame_sample
+
+    rows = [
+        ("v", "video", "video/mp4", bytearray(make_mp4(3500, 64, 36)), {}),
+        ("bad", "video", "video/avi", bytearray(b"RIFFxxxxAVI "), {}),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id string, kind string, mime string, payload binary, "
+        "meta map<string,string>"
+    )
+    out = frame_sample(df, every_ms=1000, max_frames=8,
+                       use_fake_codec=False).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert len(by_id.get("v", [])) == 3  # 3500ms // 1000ms
+    assert [r["frame_ts_ms"] for r in sorted(
+        by_id["v"], key=lambda r: r["frame_index"])] == [0, 1000, 2000]
+    assert "bad" not in by_id
+
+
+def test_image_features_webp_dims_real(spark):
+    """image_features real-codec path on webp: dimensions from the
+    actual header, luma honestly null (no VP8 pixel decoder)."""
+    from fingerprint_spark.operators.multimodal import image_features
+
+    rows = [("wp", "image", "image/webp", bytearray(make_webp(123, 45)), {})]
+    df = spark.createDataFrame(
+        rows, "media_id string, kind string, mime string, payload binary, "
+        "meta map<string,string>"
+    )
+    r = image_features(df, use_fake_codec=False).collect()[0]
+    assert (r["width"], r["height"]) == (123, 45)
+    assert r["mean_luma"] is None and r["n_channels"] is None

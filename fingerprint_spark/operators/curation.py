@@ -1,0 +1,252 @@
+"""Corpus-curation operators: chunk-level dedup, decontamination, sampling.
+
+The quality-filter tier of a training-data pipeline needs three ops the
+document-level dedup family (operators/dedup.py) doesn't cover:
+
+- ``chunk_dedup`` — CCNet-style sub-document dedup: split every document
+  into fixed-size word chunks (the deterministic analog of paragraph
+  splitting; real corpora split on blank lines), drop every occurrence of
+  a chunk after its global first, and reassemble the surviving text.
+  Boilerplate that repeats across pages (nav bars, footers, cookie
+  banners) disappears from all but one document.
+- ``decontaminate`` — benchmark-overlap flagging (GPT-3 appendix C /
+  Llama style): a corpus document is contaminated when it shares any
+  word n-gram with a held-out benchmark set. Real pipelines use n=13;
+  the n is a parameter.
+- ``stratified_sample`` — deterministic per-stratum Bernoulli sampling:
+  keep a row iff a uniform hash of its key lands under the stratum's
+  permille rate. Rerunning the job reproduces the identical sample (no
+  RNG state), which is what makes sampled corpora auditable.
+
+Scale notes (100 TB):
+- chunk_dedup's only wide stages are one hash-partitioned window over
+  ``xxhash64(chunk)`` (first-occurrence ranking; each hash group is a
+  handful of rows, so no skew) and the per-document reassembly groupBy.
+  Chunk text crosses the shuffle once — unavoidable, since the survivors
+  must be reassembled — but the ranking key is the 8-byte hash.
+- decontaminate broadcasts the benchmark n-gram set (benchmarks are
+  small by nature); the corpus side is a map-side semi-join, no shuffle
+  of corpus text.
+- stratified_sample is a pure narrow filter — zero shuffles.
+
+Reference analog: the reference has no corpus-curation stage (it is a
+per-document assertion engine); these close the BASELINE.json north-rule
+gap for web-scale quality filtering. Semantics follow the public CCNet
+(Wenzek et al. 2019) and GPT-3 (Brown et al. 2020, appendix C) recipes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def _words(text_col: Column) -> Column:
+    return F.filter(
+        F.split(F.trim(text_col), r"\s+"), lambda w: w != ""
+    )
+
+
+def word_chunks(text_col: Column, chunk_words: int) -> Column:
+    """Array of fixed-size word chunks (last chunk may be short); an
+    empty/blank document yields one empty-string chunk so every input
+    row survives to the output."""
+    words = _words(text_col)
+    n_chunks = F.greatest(
+        F.ceil(F.size(words) / F.lit(chunk_words)), F.lit(1)
+    ).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * chunk_words + 1, chunk_words), " "
+        ),
+    )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    chunk_words: int = 12,
+) -> DataFrame:
+    """Global first-occurrence chunk dedup; returns one row per input
+    document: (key, n_chunks, n_kept, text_dedup).
+
+    First occurrence is the smallest (key, chunk_idx) over the whole
+    corpus — deterministic under any partitioning. The ranking window
+    partitions on ``xxhash64(chunk)``: 2^64 key space, so groups stay
+    tiny and a 1000-executor shuffle balances; a 64-bit collision would
+    merge two distinct chunks (odds ~n^2/2^65 — negligible, and the
+    failure mode is one over-dropped chunk, not corruption).
+    """
+    key = F.col(key_col)
+    ex = df.select(
+        key.alias("__key"),
+        F.posexplode(word_chunks(F.col(text_col), chunk_words)).alias(
+            "__idx", "__chunk"
+        ),
+    )
+    first = W.partitionBy(F.xxhash64("__chunk")).orderBy("__key", "__idx")
+    ranked = ex.withColumn("__keep", F.row_number().over(first) == 1)
+    return ranked.groupBy(F.col("__key").alias(key_col)).agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__keep"),
+                                F.struct(
+                                    F.col("__idx"), F.col("__chunk")
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["__chunk"],
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("text_dedup"),
+    )
+
+
+def word_ngrams(text_col: Column, n: int) -> Column:
+    """Array of space-joined word n-grams; empty when the document has
+    fewer than n words."""
+    words = _words(text_col)
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Flag corpus documents sharing any word n-gram with the benchmark
+    set. Returns one row per corpus document:
+    (key, n_hits, contaminated) where n_hits counts DISTINCT shared
+    n-grams (so a repeated hit doesn't inflate the signal).
+
+    The benchmark n-gram set is distinct-ed and broadcast — eval
+    benchmarks are tiny next to a training corpus, so the corpus side
+    never shuffles; the join is map-side against the broadcast table.
+    """
+    key = F.col(key_col)
+    bench_grams = benchmark.select(
+        F.explode(word_ngrams(F.col(text_col), n)).alias("__g")
+    ).distinct().withColumn("__hit", F.lit(1))
+    # explode_outer keeps gram-less documents as a null-gram row, so a
+    # single left broadcast join + one key-partitioned groupBy produces
+    # a row for EVERY corpus document — no second join back to the
+    # corpus (which would be a key-shuffle sort-merge join at scale)
+    corpus_grams = corpus.select(
+        key.alias("__key"),
+        F.explode_outer(word_ngrams(F.col(text_col), n)).alias("__g"),
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "__g", "left")
+        .groupBy("__key")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("__hit") == 1, F.col("__g"))
+            ).alias("n_hits")
+        )
+    )
+    return hits.select(
+        F.col("__key").alias(key_col),
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        (F.col("n_hits") > 0).cast("int").alias("contaminated"),
+    )
+
+
+def sample_uniform_permille(key_col: Column, stratum_col: Column) -> Column:
+    """Deterministic uniform in [0, 1000): md5 of key:stratum, first 6
+    hex digits, mod 1000. md5 (not xxhash64) so an external auditor can
+    recompute membership with any standard library — the sample is a
+    *contract*, not an implementation detail."""
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", key_col.cast("string"), stratum_col)),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return u % 1000
+
+
+def repetition_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher repetition signals (Rae et al. 2021 A.1.1) per document:
+    (key, top_ngram, top_count, dup_ngram_occ, n_ngrams) where top_ngram
+    is the most frequent word n-gram (ties -> lexicographically
+    smallest), and dup_ngram_occ counts occurrences belonging to any
+    n-gram seen more than once in the document.
+
+    All-integer/string output so the oracle comparison is hash-exact;
+    the published fractional thresholds (e.g. top-2-gram char fraction)
+    are one division away. Documents with fewer than n words produce no
+    row (no n-grams -> no repetition signal).
+
+    Shuffles on (key, ngram) then (key) — both salted by the document
+    key, so a hot boilerplate n-gram never concentrates on one task the
+    way a global ngram-count would.
+    """
+    key = F.col(key_col)
+    counts = (
+        df.select(
+            key.alias("__key"),
+            F.explode(word_ngrams(F.col(text_col), n)).alias("__g"),
+        )
+        .groupBy("__key", "__g")
+        .agg(F.count("*").alias("__cnt"))
+    )
+    # min(struct(-cnt, g)) == (max count, tie -> smallest gram): one
+    # partial-aggregating pass, no per-document window needed
+    return counts.groupBy(F.col("__key").alias(key_col)).agg(
+        F.min(F.struct((-F.col("__cnt")).alias("neg"), F.col("__g"))).alias(
+            "__top"
+        ),
+        F.sum(
+            F.when(F.col("__cnt") > 1, F.col("__cnt")).otherwise(F.lit(0))
+        ).alias("dup_ngram_occ"),
+        F.sum("__cnt").alias("n_ngrams"),
+    ).select(
+        key_col,
+        F.col("__top.__g").alias("top_ngram"),
+        (-F.col("__top.neg")).alias("top_count"),
+        "dup_ngram_occ",
+        "n_ngrams",
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    permille: Column,
+) -> DataFrame:
+    """Keep rows whose deterministic uniform lands under the stratum's
+    permille rate. Pure narrow filter: no shuffle, fully pushdown-safe,
+    reproducible across runs and cluster sizes."""
+    u_mod = sample_uniform_permille(F.col(key_col), F.col(stratum_col))
+    return df.withColumn("permille", permille).withColumn(
+        "u_mod", u_mod
+    ).filter(F.col("u_mod") < F.col("permille"))

@@ -1792,3 +1792,68 @@ ORACLE_QUERIES.update(
         "repetition": (q_repetition, sql_repetition),
     }
 )
+
+
+def q_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL curation path (functions/urls.py), oracle-checked: per doc a
+    deterministic messy url is synthesized (scheme/www/port variance,
+    tracking params, unsorted query, fragment, trailing slash), then
+    canonicalized, eTLD+1-extracted (multi-part PSL suffix .co.uk), and
+    blocklist-flagged; dedup representative = min doc_id per canonical
+    url. Every field is recomputed algebraically by the oracle, so a
+    broken normalization step (e.g. PSL last-2 instead of last-3) fails
+    the hash."""
+    from .functions.urls import registered_domain, url_canonical, url_host
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("https://")).otherwise(F.lit("http://")),
+        F.when(d % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("Site"), (d % 3).cast("string"),
+        F.lit(".example"), (d % 2).cast("string"), F.lit(".co.uk"),
+        F.when(d % 7 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"), (d % 100).cast("string"),
+        F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 4 == 1, F.lit("?utm_source=feed&b=2&a=1"))
+        .when(d % 4 == 2, F.lit("?a=1&b=2"))
+        .when(d % 4 == 3, F.lit("?b=2&a=1&fbclid=xyz"))
+        .otherwise(F.lit("")),
+        F.when(d % 2 == 1, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    df = _doc(spark, sf_dir).select("doc_id", url.alias("url"))
+    bl = spark.createDataFrame(
+        [("example1.co.uk",)], "domain string"
+    ).select(F.col("domain").alias("__dom"), F.lit(1).alias("__b"))
+    out = (
+        df.withColumn("canonical", url_canonical(F.col("url")))
+        .withColumn("reg_dom", registered_domain(url_host(F.col("url"))))
+        .join(F.broadcast(bl), F.col("reg_dom") == F.col("__dom"), "left")
+    )
+    rep = W.partitionBy("canonical")
+    return out.select(
+        "doc_id",
+        "canonical",
+        "reg_dom",
+        F.coalesce(F.col("__b"), F.lit(0)).cast("int").alias("blocked"),
+        (F.col("doc_id") == F.min("doc_id").over(rep))
+        .cast("int")
+        .alias("is_rep"),
+    )
+
+
+def sql_url_curation() -> str:
+    return """
+WITH c AS (SELECT doc_id,
+    'site' || (doc_id % 3) || '.example' || (doc_id % 2) || '.co.uk'
+      || '/p/' || (doc_id % 100)
+      || CASE WHEN doc_id % 4 = 0 THEN '' ELSE '?a=1&b=2' END AS canonical,
+    'example' || (doc_id % 2) || '.co.uk' AS reg_dom,
+    (doc_id % 2 = 1)::int AS blocked
+  FROM documents)
+SELECT doc_id, canonical, reg_dom, blocked,
+  (doc_id = min(doc_id) OVER (PARTITION BY canonical))::int AS is_rep
+FROM c
+"""
+
+
+ORACLE_QUERIES.update({"url_curation": (q_url_curation, sql_url_curation)})

@@ -1,0 +1,121 @@
+"""URL functions for web-corpus curation — pure Column expressions.
+
+A Common-Crawl-style pipeline keys everything on url (BASELINE.json
+input_hint), so before any dedup or filter the url itself must be
+normalized: the same page arrives as http/https, with/without www, with
+fragment anchors and click-tracking query params, with unsorted query
+strings. Canonicalization collapses those; eTLD+1 extraction gives the
+unit domain policy operates on; blocklist filtering drops whole
+registered domains (spam/adult lists) with a broadcast join.
+
+Everything here is whole-stage-codegen'd JVM expressions (parse_url,
+regexp, array HOFs over query params — a handful of elements per row,
+never token-scale arrays). No Python executes per row.
+
+Public-knowledge semantics: RFC 3986 normalization subset + the
+tracking-param strip list used by the major link-cleaning tools; the
+multi-part suffix handling follows the Public Suffix List algorithm
+(publicsuffix.org) over a parameterizable suffix set — ship a compact
+common subset, pass the full PSL at deploy time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# click/campaign tracking params stripped during canonicalization
+TRACKING_PARAM_RE = (
+    r"^(utm_[^=]*|fbclid|gclid|msclkid|dclid|mc_eid|igshid|ref|ref_src)="
+)
+
+# compact common subset of the Public Suffix List's multi-label suffixes;
+# production passes the full list (the expression scales as a hash-set
+# membership probe either way)
+MULTIPART_SUFFIXES = [
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.za",
+    "github.io", "gitlab.io", "blogspot.com",
+]
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased authority without port (try_parse_url: invalid url -> NULL row outcome, never a task failure under ANSI mode)."""
+    return F.lower(
+        F.regexp_replace(F.try_parse_url(url, F.lit("HOST")), r":\d+$", "")
+    )
+
+
+def _clean_query(url: Column) -> Column:
+    """Query string minus tracking params, params sorted for stability;
+    empty string when nothing survives."""
+    q = F.coalesce(F.try_parse_url(url, F.lit("QUERY")), F.lit(""))
+    kept = F.array_sort(
+        F.filter(
+            F.split(q, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    return F.array_join(kept, "&")
+
+
+def url_canonical(url: Column) -> Column:
+    """Canonical form: https-normalized scheme dropped (scheme is not
+    identity for dedup), host lowercased with a leading ``www.`` and any
+    port stripped, path with trailing slash trimmed (bare ``/`` becomes
+    empty), fragment dropped, tracking params removed, remaining query
+    params sorted. NULL for urls with no parseable host."""
+    host = F.regexp_replace(url_host(url), r"^www\.", "")
+    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
+    path = F.regexp_replace(path, r"/$", "")
+    q = _clean_query(url)
+    return F.when(
+        host.isNotNull() & (host != ""),
+        F.concat(
+            host, path, F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit(""))
+        ),
+    )
+
+
+def registered_domain(
+    host: Column, multipart_suffixes: list[str] | None = None
+) -> Column:
+    """eTLD+1 per the PSL algorithm over the given multi-label suffix
+    set: one extra label beyond the longest matching public suffix.
+    A bare TLD or single-label host returns itself."""
+    suffixes = (
+        MULTIPART_SUFFIXES if multipart_suffixes is None else multipart_suffixes
+    )
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.array_join(F.slice(parts, n - 1, 2), ".")
+    last3 = F.array_join(F.slice(parts, n - 2, 3), ".")
+    return F.when(n <= 1, host).when(
+        (n >= 3) & last2.isin(suffixes), last3
+    ).otherwise(last2)
+
+
+def domain_blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    keep: bool = True,
+) -> DataFrame:
+    """Drop (keep=True) or select (keep=False) rows whose registered
+    domain appears in the blocklist.
+
+    ``blocklist`` is a one-column DataFrame of registered domains
+    (column ``domain``). Matching is by eTLD+1 EQUALITY — computing the
+    registered domain first turns suffix semantics ("block evil.com and
+    every subdomain") into an equi-join, which broadcasts; a suffix
+    LIKE-scan against the list would be a nested loop at scale.
+    """
+    dom = registered_domain(url_host(F.col(url_col)))
+    tagged = df.withColumn("__dom", dom)
+    bl = F.broadcast(
+        blocklist.select(F.lower(F.col("domain")).alias("__dom")).distinct()
+    )
+    how = "left_anti" if keep else "left_semi"
+    return tagged.join(bl, "__dom", how).drop("__dom")

@@ -1,0 +1,99 @@
+"""URL curation functions (functions/urls.py): canonicalization edges,
+PSL registered-domain algorithm, blocklist join shape."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from fingerprint_spark.functions.urls import (
+    domain_blocklist_filter,
+    registered_domain,
+    url_canonical,
+    url_host,
+)
+
+
+def _canon(spark, *urls):
+    df = spark.createDataFrame([Row(url=u) for u in urls], "url string")
+    return [r["c"] for r in
+            df.select(url_canonical(F.col("url")).alias("c")).collect()]
+
+
+def test_canonical_collapses_equivalent_forms(spark):
+    variants = [
+        "https://www.Example.com/a/b?b=2&a=1",
+        "http://example.com:8080/a/b?a=1&b=2#frag",
+        "https://example.com/a/b/?utm_source=x&a=1&fbclid=z&b=2",
+    ]
+    out = set(_canon(spark, *variants))
+    assert out == {"example.com/a/b?a=1&b=2"}
+
+
+def test_canonical_root_and_queryless(spark):
+    assert _canon(
+        spark,
+        "https://example.com/",
+        "https://example.com?utm_campaign=only",
+    ) == ["example.com", "example.com"]
+
+
+def test_canonical_unparseable_is_null(spark):
+    assert _canon(spark, "not a url", "") == [None, None]
+
+
+def test_canonical_keeps_distinct_params_distinct(spark):
+    a, b = _canon(
+        spark,
+        "https://example.com/x?page=1",
+        "https://example.com/x?page=2",
+    )
+    assert a != b and a == "example.com/x?page=1"
+
+
+@pytest.mark.parametrize(
+    "host,expected",
+    [
+        ("a.b.site.co.uk", "site.co.uk"),     # multi-part suffix
+        ("deep.sub.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("user.github.io", "user.github.io"), # github.io is a suffix
+        ("p.user.github.io", "user.github.io"),
+        ("localhost", "localhost"),           # single label -> itself
+        ("co.uk", "co.uk"),                   # bare suffix -> itself
+    ],
+)
+def test_registered_domain_psl_algorithm(spark, host, expected):
+    got = (
+        spark.createDataFrame([Row(h=host)], "h string")
+        .select(registered_domain(F.col("h")).alias("d"))
+        .head()["d"]
+    )
+    assert got == expected
+
+
+def test_host_strips_port_and_case(spark):
+    got = (
+        spark.createDataFrame([Row(u="https://WWW.Ex.COM:8443/p")], "u string")
+        .select(url_host(F.col("u")).alias("h"))
+        .head()["h"]
+    )
+    assert got == "www.ex.com"
+
+
+def test_blocklist_filters_subdomains_via_etld1(spark):
+    df = spark.createDataFrame(
+        [
+            Row(url="https://spam.example.com/x", doc_id=0),
+            Row(url="https://deep.sub.spam-site.co.uk/y", doc_id=1),
+            Row(url="https://fine.org/z", doc_id=2),
+        ]
+    )
+    bl = spark.createDataFrame(
+        [Row(domain="example.com"), Row(domain="SPAM-SITE.co.uk")]
+    )
+    kept = domain_blocklist_filter(df, bl, keep=True)
+    assert [r["doc_id"] for r in kept.collect()] == [2]
+    dropped = domain_blocklist_filter(df, bl, keep=False)
+    assert sorted(r["doc_id"] for r in dropped.collect()) == [0, 1]
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan

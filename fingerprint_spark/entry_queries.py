@@ -1857,3 +1857,48 @@ FROM c
 
 
 ORACLE_QUERIES.update({"url_curation": (q_url_curation, sql_url_curation)})
+
+
+BOILER_MAX_DOCS = 2
+
+
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb boilerplate removal (operators/curation
+    .boilerplate_filter): chunks appearing in more than BOILER_MAX_DOCS
+    distinct documents are dropped from every document — no first
+    occurrence survives, unlike chunk_dedup."""
+    from .operators.curation import boilerplate_filter
+
+    return boilerplate_filter(
+        _doc(spark, sf_dir), "text", "doc_id", CHUNK_WORDS, BOILER_MAX_DOCS
+    ).select(
+        "doc_id",
+        F.col("n_chunks").cast("bigint").alias("n_chunks"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        "text_clean",
+    )
+
+
+def sql_boilerplate() -> str:
+    w, k = CHUNK_WORDS, BOILER_MAX_DOCS
+    return f"""
+WITH w AS (SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws
+  FROM documents),
+ex AS (SELECT doc_id, i.i AS idx,
+    array_to_string(ws[i.i*{w}+1 : i.i*{w}+{w}], ' ') AS chunk
+  FROM w, LATERAL unnest(
+    range(0, greatest(1, cast(ceil(len(ws) / {w}.0) AS bigint)))) AS i(i)),
+pop AS (SELECT chunk FROM ex GROUP BY chunk
+  HAVING count(DISTINCT doc_id) > {k})
+SELECT ex.doc_id,
+  count(*)::bigint AS n_chunks,
+  sum(CASE WHEN pop.chunk IS NULL THEN 1 ELSE 0 END)::bigint AS n_kept,
+  coalesce(string_agg(CASE WHEN pop.chunk IS NULL THEN ex.chunk END,
+                      ' ' ORDER BY ex.idx), '') AS text_clean
+FROM ex LEFT JOIN pop ON ex.chunk = pop.chunk
+GROUP BY ex.doc_id
+"""
+
+
+ORACLE_QUERIES.update({"boilerplate": (q_boilerplate, sql_boilerplate)})

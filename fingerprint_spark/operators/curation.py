@@ -114,6 +114,72 @@ def chunk_dedup(
     )
 
 
+def boilerplate_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    chunk_words: int = 12,
+    max_docs: int = 2,
+    broadcast_popular: bool = True,
+) -> DataFrame:
+    """RefinedWeb-style boilerplate removal: a chunk occurring in MORE
+    than ``max_docs`` distinct documents is dropped from EVERY document
+    (nav bars, cookie banners, footers) — unlike chunk_dedup, no first
+    occurrence survives. Returns (key, n_chunks, n_kept, text_clean).
+
+    Popularity is a count_distinct(key) groupBy over the 8-byte chunk
+    hash (partial-aggregated map-side, so a corpus-wide banner chunk
+    contributes one row per upstream task, never a hot reduce key) and
+    the over-threshold hash set is FILTERED before joining back —
+    boilerplate hashes are a tiny fraction of all chunks. With
+    ``broadcast_popular`` (default) the hot set broadcasts and the
+    corpus side stays narrow until the per-document reassembly groupBy;
+    disable it if the threshold is set low enough that the hot set can
+    outgrow executor memory, and AQE plans the join instead.
+    """
+    key = F.col(key_col)
+    ex = df.select(
+        key.alias("__key"),
+        F.posexplode(word_chunks(F.col(text_col), chunk_words)).alias(
+            "__idx", "__chunk"
+        ),
+    ).withColumn("__h", F.xxhash64("__chunk"))
+    popular = (
+        ex.groupBy("__h")
+        .agg(F.count_distinct("__key").alias("__nd"))
+        .filter(F.col("__nd") > max_docs)
+        .select("__h", F.lit(True).alias("__hot"))
+    )
+    if broadcast_popular:
+        popular = F.broadcast(popular)
+    marked = ex.join(popular, "__h", "left").withColumn(
+        "__keep", F.col("__hot").isNull()
+    )
+    return marked.groupBy(F.col("__key").alias(key_col)).agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__keep"),
+                                F.struct(
+                                    F.col("__idx"), F.col("__chunk")
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["__chunk"],
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("text_clean"),
+    )
+
+
 def word_ngrams(text_col: Column, n: int) -> Column:
     """Array of space-joined word n-grams; empty when the document has
     fewer than n words."""

@@ -214,3 +214,43 @@ def test_word_ngrams_short_is_empty(spark):
         word_ngrams(F.lit("a b"), 3).alias("g")
     ).head()["g"]
     assert out == []
+
+
+# ---------------------------------------------------------------------------
+# boilerplate_filter
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_removes_all_occurrences_above_threshold(spark):
+    from fingerprint_spark.operators.curation import boilerplate_filter
+
+    # "nav bar x" appears in 3 docs (> max_docs=2): removed everywhere,
+    # including from doc 0; "foot er y" appears in exactly 2: kept
+    df = _docs(
+        spark,
+        [
+            (0, "nav bar x body zero z"),
+            (1, "nav bar x body one zz"),
+            (2, "nav bar x foot er y"),
+            (3, "foot er y body three w"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_filter(df, chunk_words=3, max_docs=2).collect()
+    }
+    assert out[0]["text_clean"] == "body zero z"
+    assert out[1]["text_clean"] == "body one zz"
+    assert out[2]["text_clean"] == "foot er y" and out[2]["n_kept"] == 1
+    assert out[3]["text_clean"] == "foot er y body three w"
+
+
+def test_boilerplate_plan_broadcasts_hot_set(spark):
+    from fingerprint_spark.operators.curation import boilerplate_filter
+
+    df = _docs(spark, [(i, f"common head here tail{i} a b") for i in range(9)])
+    res = boilerplate_filter(df, chunk_words=3, max_docs=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    # every doc loses the shared leading chunk
+    assert all(r["n_kept"] == 1 for r in res.collect())

@@ -46,6 +46,9 @@ HEADLINE = [
     "xlsx_decode",        # xlsx DECODE over pre-materialized bytes
                           # (round 3; the encode+decode roundtrip row
                           # xlsx_grid remains in the correctness set)
+    "chunk_dedup",        # CCNet sub-document dedup + reassembly
+    "decontam",           # broadcast benchmark n-gram overlap
+    "url_curation",       # canonicalize + eTLD+1 + blocklist + dedup
 ]
 
 
@@ -215,6 +218,7 @@ SF1_QUERIES = [
     "html_pipeline", "pipeline_keep", "exact_dedup", "sketches",
     "embedding_topk", "langid", "gopher_flags", "events_hourly",
     "jaccard_adjacent", "extract_hash", "xlsx_decode",
+    "chunk_dedup", "decontam", "url_curation",
 ]
 
 

@@ -49,6 +49,7 @@ HEADLINE = [
     "chunk_dedup",        # CCNet sub-document dedup + reassembly
     "decontam",           # broadcast benchmark n-gram overlap
     "url_curation",       # canonicalize + eTLD+1 + blocklist + dedup
+    "pipeline_curate",    # end-to-end: quality x dedup x decontam x sample
 ]
 
 
@@ -218,7 +219,7 @@ SF1_QUERIES = [
     "html_pipeline", "pipeline_keep", "exact_dedup", "sketches",
     "embedding_topk", "langid", "gopher_flags", "events_hourly",
     "jaccard_adjacent", "extract_hash", "xlsx_decode",
-    "chunk_dedup", "decontam", "url_curation",
+    "chunk_dedup", "decontam", "url_curation", "pipeline_curate",
 ]
 
 

@@ -1902,3 +1902,74 @@ GROUP BY ex.doc_id
 
 
 ORACLE_QUERIES.update({"boilerplate": (q_boilerplate, sql_boilerplate)})
+
+
+def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation verdict, oracle-checked: quality keep/drop
+    (langid + Gopher heuristics) x chunk-dedup survival x benchmark
+    contamination x deterministic sample membership, folded into one
+    final_keep per document — the full north-rule chain as ONE Spark
+    plan (each stage shuffles at most once on doc_id-sized keys)."""
+    from .operators.curation import (
+        chunk_dedup, decontaminate, sample_uniform_permille,
+    )
+
+    docs = _doc(spark, sf_dir)
+    keepq = q_pipeline_keep(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_quality")
+    )
+    ded = chunk_dedup(docs, "text", "doc_id", CHUNK_WORDS).select(
+        "doc_id", F.col("n_kept").cast("bigint").alias("n_kept_chunks")
+    )
+    bench = docs.filter(F.col("doc_id") % BENCH_MOD == BENCH_REM)
+    cont = decontaminate(docs, bench, "text", "doc_id", DECONTAM_N).select(
+        "doc_id", "contaminated"
+    )
+    permille = (
+        F.lit(100)
+        + F.lit(100) * (F.substring("source", 4, 10).cast("int") % 8)
+    ).cast("bigint")
+    samp = docs.select(
+        "doc_id",
+        (sample_uniform_permille(F.col("doc_id"), F.col("source")) < permille)
+        .cast("int")
+        .alias("sampled"),
+    )
+    out = keepq.join(ded, "doc_id").join(cont, "doc_id").join(samp, "doc_id")
+    return out.select(
+        "doc_id",
+        F.col("keep_quality").cast("int").alias("keep_quality"),
+        "n_kept_chunks",
+        F.col("contaminated").cast("int").alias("contaminated"),
+        "sampled",
+        (
+            (F.col("keep_quality") == 1)
+            & (F.col("contaminated") == 0)
+            & (F.col("sampled") == 1)
+        )
+        .cast("int")
+        .alias("final_keep"),
+    )
+
+
+def sql_pipeline_curate() -> str:
+    return f"""
+SELECT k.doc_id,
+  k.keep::int AS keep_quality,
+  d.n_kept AS n_kept_chunks,
+  c.contaminated,
+  s.sampled,
+  (k.keep = 1 AND c.contaminated = 0 AND s.sampled = 1)::int AS final_keep
+FROM ({sql_pipeline_keep()}) k
+JOIN ({sql_chunk_dedup()}) d USING (doc_id)
+JOIN ({sql_decontam()}) c USING (doc_id)
+JOIN (SELECT doc_id,
+    ((('0x' || substr(md5(doc_id::varchar || ':' || source), 1, 6))::bigint
+       % 1000) < 100 + 100 * (substr(source, 4)::int % 8))::int AS sampled
+  FROM documents) s USING (doc_id)
+"""
+
+
+ORACLE_QUERIES.update(
+    {"pipeline_curate": (q_pipeline_curate, sql_pipeline_curate)}
+)

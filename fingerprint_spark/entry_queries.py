@@ -1973,3 +1973,49 @@ JOIN (SELECT doc_id,
 ORACLE_QUERIES.update(
     {"pipeline_curate": (q_pipeline_curate, sql_pipeline_curate)}
 )
+
+
+def q_domain_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain reputation (functions/urls.domain_reputation): per-domain
+    keep-rate from the quality pass, flagged against the corpus-wide
+    rate — the C4-style 'derive the badlist from the data' feedback
+    loop. Domains synthesized as in url_curation."""
+    from .functions.urls import domain_reputation
+
+    d = F.col("doc_id")
+    reg_dom = F.concat(
+        F.lit("example"), (d % 2).cast("string"), F.lit(".co.uk")
+    )
+    keepq = q_pipeline_keep(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep")
+    )
+    tagged = keepq.withColumn("reg_dom", reg_dom)
+    rep = domain_reputation(tagged, "reg_dom", "keep")
+    return rep.select(
+        "domain",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_keep").cast("bigint").alias("n_keep"),
+        F.col("keep_permille").cast("bigint").alias("keep_permille"),
+        F.col("below_corpus_rate").cast("int").alias("below_corpus_rate"),
+    )
+
+
+def sql_domain_reputation() -> str:
+    return f"""
+WITH k AS ({sql_pipeline_keep()}),
+t AS (SELECT doc_id, keep,
+    'example' || (doc_id % 2) || '.co.uk' AS domain FROM k),
+d AS (SELECT domain, count(*)::bigint AS n_docs,
+    sum(keep)::bigint AS n_keep,
+    (1000 * sum(keep) // count(*))::bigint AS keep_permille
+  FROM t GROUP BY domain),
+o AS (SELECT (1000 * sum(keep) // count(*)) AS corpus_permille FROM t)
+SELECT domain, n_docs, n_keep, keep_permille,
+  (keep_permille < corpus_permille)::int AS below_corpus_rate
+FROM d, o
+"""
+
+
+ORACLE_QUERIES.update(
+    {"domain_reputation": (q_domain_reputation, sql_domain_reputation)}
+)

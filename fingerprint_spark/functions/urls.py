@@ -97,6 +97,44 @@ def registered_domain(
     ).otherwise(last2)
 
 
+def domain_reputation(
+    df: DataFrame,
+    domain_col: str = "reg_dom",
+    keep_col: str = "keep",
+) -> DataFrame:
+    """Per-registered-domain reputation from a prior quality pass:
+    (domain, n_docs, n_keep, keep_permille, below_corpus_rate).
+
+    The C4/RefinedWeb pattern: run the per-document quality filter,
+    aggregate keep-rate per domain, then feed the (tiny) domain table
+    back as a broadcast to drop or downweight low-reputation domains on
+    the next pass. keep_permille is floor(1000*keeps/docs) — integer on
+    both engines, so the oracle comparison is exact; below_corpus_rate
+    compares against the corpus-wide permille (a broadcast single-row
+    cross join, not a collect)."""
+    per_dom = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col(keep_col).cast("long")).alias("n_keep"),
+    )
+    per_dom = per_dom.withColumn(
+        "keep_permille",
+        F.floor(F.lit(1000) * F.col("n_keep") / F.col("n_docs")),
+    )
+    overall = df.agg(
+        F.floor(
+            F.lit(1000) * F.sum(F.col(keep_col).cast("long")) / F.count("*")
+        ).alias("__corpus_permille")
+    )
+    return (
+        per_dom.crossJoin(F.broadcast(overall))
+        .withColumn(
+            "below_corpus_rate",
+            (F.col("keep_permille") < F.col("__corpus_permille")).cast("int"),
+        )
+        .drop("__corpus_permille")
+    )
+
+
 def domain_blocklist_filter(
     df: DataFrame,
     blocklist: DataFrame,

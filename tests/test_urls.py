@@ -97,3 +97,21 @@ def test_blocklist_filters_subdomains_via_etld1(spark):
     assert sorted(r["doc_id"] for r in dropped.collect()) == [0, 1]
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_domain_reputation_rates_and_flag(spark):
+    from fingerprint_spark.functions.urls import domain_reputation
+
+    df = spark.createDataFrame(
+        [Row(reg_dom="good.com", keep=1)] * 3
+        + [Row(reg_dom="good.com", keep=0)]
+        + [Row(reg_dom="bad.com", keep=0)] * 4,
+        "reg_dom string, keep int",
+    )
+    out = {r["domain"]: r for r in domain_reputation(df).collect()}
+    # corpus rate: 3/8 -> 375 permille
+    assert out["good.com"]["keep_permille"] == 750
+    assert out["good.com"]["below_corpus_rate"] == 0
+    assert out["bad.com"]["n_docs"] == 4
+    assert out["bad.com"]["keep_permille"] == 0
+    assert out["bad.com"]["below_corpus_rate"] == 1

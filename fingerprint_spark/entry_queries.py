@@ -2019,3 +2019,54 @@ FROM d, o
 ORACLE_QUERIES.update(
     {"domain_reputation": (q_domain_reputation, sql_domain_reputation)}
 )
+
+
+MIX_BUDGET_PERMILLE = 200
+
+
+def q_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing (operators/curation.mix_to_budget): sample each
+    source so the output holds ~20% of corpus tokens, split across
+    sources by weight 25 + 5*(source index % 10). Rates are integer
+    permille via exact integral division; membership is the md5 sample
+    contract, so the oracle recomputes every field."""
+    from .operators.curation import _words, mix_to_budget
+
+    docs = _doc(spark, sf_dir)
+    weight = F.lit(25) + F.lit(5) * (
+        F.substring("source", 4, 10).cast("int") % 10
+    )
+    out = mix_to_budget(
+        docs, "doc_id", "source", F.size(_words(F.col("text"))),
+        weight, MIX_BUDGET_PERMILLE,
+    )
+    return out.select(
+        "doc_id", "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("rate_permille").cast("bigint").alias("rate_permille"),
+        F.col("sampled").cast("int").alias("sampled"),
+    )
+
+
+def sql_mix_budget() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, source,
+    len(list_filter(string_split_regex(trim(text), '\\s+'),
+        x -> x <> ''))::bigint AS n_tokens,
+    (25 + 5 * (substr(source, 4)::int % 10))::bigint AS w
+  FROM documents),
+s AS (SELECT source, sum(n_tokens) AS tok_s, max(w) AS w_s
+  FROM t GROUP BY source),
+o AS (SELECT sum(tok_s) AS tok_all, sum(w_s) AS sum_w FROM s),
+r AS (SELECT source, least(1000,
+    (1000 * w_s * (({MIX_BUDGET_PERMILLE} * tok_all) // 1000))
+      // (sum_w * tok_s)) AS rate_permille
+  FROM s, o)
+SELECT t.doc_id, t.source, t.n_tokens, r.rate_permille::bigint AS rate_permille,
+  ((('0x' || substr(md5(t.doc_id::varchar || ':' || t.source), 1, 6))::bigint
+     % 1000) < r.rate_permille)::int AS sampled
+FROM t JOIN r USING (source)
+"""
+
+
+ORACLE_QUERIES.update({"mix_budget": (q_mix_budget, sql_mix_budget)})

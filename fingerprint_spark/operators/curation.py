@@ -277,6 +277,67 @@ def sample_uniform_permille(key_col: Column, stratum_col: Column) -> Column:
     return u % 1000
 
 
+def mix_to_budget(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    tokens: Column,
+    weight: Column,
+    budget_permille: int,
+) -> DataFrame:
+    """Data mixing (DoReMi/Pile-style): sample each stratum so the
+    output approaches ``budget_permille``/1000 of the corpus tokens,
+    split across strata proportionally to ``weight`` (a per-row Column
+    that is constant within a stratum, e.g. a lookup on the stratum
+    name). Appends (n_tokens, rate_permille, sampled) to every row.
+
+    rate_s = min(1, weight_s * budget_tokens / (sum_w * tokens_s)),
+    carried as an integer permille computed with ``div`` (exact integral
+    division on both engines — floor(a/b) over doubles can mis-floor
+    near-integer quotients). Oversubscribed strata (target share above
+    their whole token mass) cap at 1000 and keep everything; the
+    shortfall is reported, not silently redistributed.
+
+    Shape: one groupBy(stratum) for the (tiny) totals table + one
+    single-row corpus aggregate, both broadcast back; membership is the
+    deterministic md5 contract of stratified_sample, so the mix is
+    reproducible and auditable at any cluster size.
+    """
+    tagged = df.withColumn("__tok", tokens.cast("long")).withColumn(
+        "__w", weight.cast("long")
+    )
+    per_s = tagged.groupBy(F.col(stratum_col).alias("__s")).agg(
+        F.sum("__tok").alias("__tok_s"), F.max("__w").alias("__w_s")
+    )
+    totals = per_s.agg(
+        F.sum("__tok_s").alias("__tok_all"), F.sum("__w_s").alias("__sum_w")
+    )
+    rates = (
+        per_s.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "__budget_tok",
+            F.expr(f"({budget_permille} * __tok_all) div 1000"),
+        )
+        .withColumn(
+            "rate_permille",
+            F.least(
+                F.lit(1000),
+                F.expr("(1000 * __w_s * __budget_tok) div (__sum_w * __tok_s)"),
+            ),
+        )
+        .select("__s", "rate_permille")
+    )
+    u = sample_uniform_permille(F.col(key_col), F.col(stratum_col))
+    return (
+        tagged.join(
+            F.broadcast(rates), tagged[stratum_col] == rates["__s"]
+        )
+        .withColumn("sampled", (u < F.col("rate_permille")).cast("int"))
+        .drop("__s", "__w")
+        .withColumnRenamed("__tok", "n_tokens")
+    )
+
+
 def repetition_profile(
     df: DataFrame,
     text_col: str = "text",

@@ -254,3 +254,46 @@ def test_boilerplate_plan_broadcasts_hot_set(spark):
     assert "BroadcastHashJoin" in plan, plan
     # every doc loses the shared leading chunk
     assert all(r["n_kept"] == 1 for r in res.collect())
+
+
+# ---------------------------------------------------------------------------
+# mix_to_budget
+# ---------------------------------------------------------------------------
+
+
+def test_mix_to_budget_rates_and_cap(spark):
+    from fingerprint_spark.operators.curation import mix_to_budget
+
+    # stratum a: 8000 tokens w=1; stratum b: 100 tokens w=3
+    rows = [Row(doc_id=i, source="a", tok=100) for i in range(80)]
+    rows += [Row(doc_id=100 + i, source="b", tok=10) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, tok long")
+    out = mix_to_budget(
+        df, "doc_id", "source", F.col("tok"), F.when(
+            F.col("source") == "a", F.lit(1)
+        ).otherwise(F.lit(3)), 200,
+    )
+    rates = {r["source"]: r["rate_permille"]
+             for r in out.select("source", "rate_permille").distinct().collect()}
+    # budget = 20% of 8100 = 1620 tokens; share a = 1/4 -> 405 of 8000
+    # -> 50 permille; share b = 3/4 -> 1215 of 100 -> capped at 1000
+    assert rates == {"a": 50, "b": 1000}
+    got = {r["doc_id"]: r["sampled"] for r in out.collect()}
+    # capped stratum keeps everything
+    assert all(got[100 + i] == 1 for i in range(10))
+    import hashlib as _h
+    for i in range(80):
+        u = int(_h.md5(f"{i}:a".encode()).hexdigest()[:6], 16) % 1000
+        assert got[i] == int(u < 50)
+
+
+def test_mix_to_budget_plan_broadcasts_rates(spark):
+    from fingerprint_spark.operators.curation import mix_to_budget
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source=f"s{i % 4}", tok=10) for i in range(40)],
+        "doc_id long, source string, tok long",
+    )
+    out = mix_to_budget(df, "doc_id", "source", F.col("tok"), F.lit(1), 500)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan

@@ -1914,9 +1914,31 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_dedup, decontaminate, sample_uniform_permille,
     )
 
+    from .pipeline import quality_filter_text
+
     docs = _doc(spark, sf_dir)
-    keepq = q_pipeline_keep(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("keep_quality")
+    # keep_quality and sampled are NARROW per-doc expressions — fold
+    # them into the base frame instead of joining 4 frames on doc_id
+    # (plan: 2 doc_id shuffles for the two aggregated stages, not 4)
+    permille = (
+        F.lit(100)
+        + F.lit(100) * (F.substring("source", 4, 10).cast("int") % 8)
+    ).cast("bigint")
+    base = (
+        quality_filter_text(
+            docs.withColumnRenamed("doc_id", "url"), "text", "url"
+        )
+        .withColumnRenamed("url", "doc_id")
+        .select(
+            "doc_id",
+            F.col("keep").cast("int").alias("keep_quality"),
+            (
+                sample_uniform_permille(F.col("doc_id"), F.col("source"))
+                < permille
+            )
+            .cast("int")
+            .alias("sampled"),
+        )
     )
     ded = chunk_dedup(docs, "text", "doc_id", CHUNK_WORDS).select(
         "doc_id", F.col("n_kept").cast("bigint").alias("n_kept_chunks")
@@ -1925,17 +1947,7 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     cont = decontaminate(docs, bench, "text", "doc_id", DECONTAM_N).select(
         "doc_id", "contaminated"
     )
-    permille = (
-        F.lit(100)
-        + F.lit(100) * (F.substring("source", 4, 10).cast("int") % 8)
-    ).cast("bigint")
-    samp = docs.select(
-        "doc_id",
-        (sample_uniform_permille(F.col("doc_id"), F.col("source")) < permille)
-        .cast("int")
-        .alias("sampled"),
-    )
-    out = keepq.join(ded, "doc_id").join(cont, "doc_id").join(samp, "doc_id")
+    out = base.join(ded, "doc_id").join(cont, "doc_id")
     return out.select(
         "doc_id",
         F.col("keep_quality").cast("int").alias("keep_quality"),

@@ -93,7 +93,7 @@ def _display_surfaces(argv: list[str]) -> int | None:
             "schema_version": "spark-operator.v0",
             "capabilities": {
                 "formats": ["html", "markdown", "text", "csv", "xlsx", "pdf"],
-                "modes": ["run", "resume", "revalidate", "diagnose", "compile", "infer", "witness"],
+                "modes": ["run", "resume", "revalidate", "diagnose", "compile", "infer", "witness", "curate"],
             },
             "pipeline": [
                 "parse", "template_match", "langid", "perplexity",
@@ -345,7 +345,98 @@ def _infer_mode(argv: list[str]) -> int:
     return 0
 
 
+def _curate_mode(argv: list[str]) -> int:
+    """`curate <corpus.parquet> --output DIR [--chunk-words N]
+    [--max-docs N] [--benchmark bench.parquet] [--decontam-n N]
+    [--text-col text] [--key-col url]` — the corpus-curation pass as a
+    deployment surface: quality keep/drop, chunk-level dedup (rewrites
+    text), optional benchmark decontamination, one verdict per document
+    written as parquet plus a single JSON metrics line (counters ride
+    the write action via observe — zero extra passes).
+
+    Runs as its own GLOBAL job rather than inside the per-bucket
+    checkpointed loop: chunk dedup's first-occurrence rule is
+    cross-document, so slicing it per bucket would change results with
+    the bucket count. The per-doc quality chain stays bucket-
+    checkpointable via the main pipeline; this subcommand is the
+    corpus-wide second pass.
+    """
+    paths: list[str] = []
+    opts: dict[str, str] = {}
+    it = iter(argv[1:])
+    for a in it:
+        if a.startswith("--"):
+            opts[a[2:].replace("-", "_")] = next(it, "")
+        else:
+            paths.append(a)
+    if not paths or "output" not in opts:
+        print("usage: curate <corpus.parquet> --output DIR "
+              "[--chunk-words N] [--max-docs N] [--benchmark PARQUET] "
+              "[--decontam-n N] [--text-col text] [--key-col url]",
+              file=sys.stderr)
+        return 2
+    from pyspark.sql import Observation, SparkSession
+    from pyspark.sql import functions as F  # noqa: N812
+
+    spark = SparkSession.builder.master(
+        os.environ.get("SPARK_GRAFT_MASTER", "local[8]")
+    ).config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    from fingerprint_spark.deploy import ensure_pyfiles
+
+    ensure_pyfiles(spark)
+    from fingerprint_spark.operators.curation import (
+        chunk_dedup, decontaminate,
+    )
+    from fingerprint_spark.pipeline import quality_filter_text
+
+    text_col = opts.get("text_col", "text")
+    key_col = opts.get("key_col", "url")
+    chunk_words = int(opts.get("chunk_words", "12"))
+    df = spark.read.parquet(paths[0])
+    quality = quality_filter_text(df, text_col=text_col, url_col=key_col)
+    base = quality.select(
+        key_col,
+        F.col("keep").cast("int").alias("keep_quality"),
+        F.col("drop_reason"),
+    )
+    ded = chunk_dedup(df, text_col, key_col, chunk_words)
+    out = base.join(ded, key_col)
+    if "benchmark" in opts:
+        bench = spark.read.parquet(opts["benchmark"])
+        cont = decontaminate(
+            df, bench, text_col, key_col, int(opts.get("decontam_n", "13"))
+        )
+        out = out.join(cont.select(key_col, "contaminated"), key_col)
+    else:
+        out = out.withColumn("contaminated", F.lit(0))
+    out = out.withColumn(
+        "final_keep",
+        (
+            (F.col("keep_quality") == 1)
+            & (F.col("contaminated") == 0)
+            & (F.col("n_kept") > 0)
+        ).cast("int"),
+    )
+    obs = Observation("curate")
+    out = out.observe(
+        obs,
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("keep_quality").alias("kept_quality"),
+        F.sum("contaminated").alias("contaminated"),
+        F.sum("n_chunks").alias("chunks_total"),
+        F.sum("n_kept").alias("chunks_kept"),
+        F.sum("final_keep").alias("final_keep"),
+    )
+    out.write.mode("overwrite").parquet(opts["output"])
+    print(json.dumps({"metric": "curate", **obs.get,
+                      "output": opts["output"]}))
+    return 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "curate":
+        return _curate_mode(sys.argv[1:])
     if len(sys.argv) > 1 and sys.argv[1] == "compile":
         return _compile_mode(sys.argv[1:])
     if len(sys.argv) > 1 and sys.argv[1] == "witness":

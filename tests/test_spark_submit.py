@@ -347,3 +347,55 @@ def test_cli_refuses_bucketing_mismatch_cleanly(spark, tmp_path):
     assert r.returncode == 2
     assert "refusing" in r.stderr and "n_buckets" in r.stderr
     assert "Traceback" not in r.stderr.split("refusing")[0][-200:]
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit not available"
+)
+def test_cli_curate_subcommand(spark, tmp_path):
+    """The corpus-curation pass as a spark-submit deployment surface:
+    quality + chunk dedup + benchmark decontamination, verdict parquet
+    plus one observe-backed JSON metrics line."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    corpus = str(tmp_path / "corpus.parquet")
+    bench = str(tmp_path / "bench.parquet")
+    out = str(tmp_path / "curated")
+    body = ("the quick brown fox jumps over the lazy dog and that have "
+            "been with us for a long while now in every test corpus "
+            "that we have seen to date here") * 2
+    rows = [
+        Row(url=f"u{i}", text=(f"shared nav bar chunk always {body} tail{i}"))
+        for i in range(40)
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(corpus)
+    spark.createDataFrame(
+        [Row(url="b0", text="every test corpus that we have seen to date")]
+    ).write.mode("overwrite").parquet(bench)
+    zip_path = build_pyfiles_zip(str(tmp_path / "pyfiles.zip"))
+
+    r = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]",
+         "--conf", "spark.ui.enabled=false", "--py-files", zip_path,
+         os.path.join(REPO, "scripts", "run_pipeline.py"), "curate",
+         corpus, "--output", out, "--chunk-words", "5",
+         "--benchmark", bench, "--decontam-n", "6"],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["metric"] == "curate" and summary["docs"] == 40
+    # the benchmark 6-grams appear in every doc body -> all contaminated
+    assert summary["contaminated"] == 40
+    # the shared leading chunks dedup away everywhere but doc of first
+    # occurrence: strictly fewer kept than total
+    assert summary["chunks_kept"] < summary["chunks_total"]
+
+    got = spark.read.parquet(out)
+    assert got.count() == 40
+    cols = set(got.columns)
+    assert {"url", "keep_quality", "n_chunks", "n_kept", "text_dedup",
+            "contaminated", "final_keep"} <= cols
+    # contamination forces final_keep = 0 corpus-wide here
+    assert got.agg(F.sum("final_keep")).first()[0] == 0

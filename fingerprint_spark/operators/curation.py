@@ -237,19 +237,26 @@ def decontaminate(
     # explode_outer keeps gram-less documents as a null-gram row, so a
     # single left broadcast join + one key-partitioned groupBy produces
     # a row for EVERY corpus document — no second join back to the
-    # corpus (which would be a key-shuffle sort-merge join at scale)
+    # corpus (which would be a key-shuffle sort-merge join at scale).
+    # array_distinct BEFORE the explode makes (key, gram) unique by
+    # construction, so n_hits is a PLAIN count — a count(distinct)
+    # here would rewrite into a (key, gram) two-phase distinct agg and
+    # shuffle every corpus gram string; with the plain count only
+    # map-side-combined (key, partial_count) pairs cross the wire
     corpus_grams = corpus.select(
         key.alias("__key"), _words(F.col(text_col)).alias("__ws")
     ).select(
         "__key",
-        F.explode_outer(_ngrams_from_words(F.col("__ws"), n)).alias("__g"),
+        F.explode_outer(
+            F.array_distinct(_ngrams_from_words(F.col("__ws"), n))
+        ).alias("__g"),
     )
     hits = (
         corpus_grams.join(F.broadcast(bench_grams), "__g", "left")
         .groupBy("__key")
         .agg(
-            F.count_distinct(
-                F.when(F.col("__hit") == 1, F.col("__g"))
+            F.sum(
+                F.when(F.col("__hit") == 1, F.lit(1)).otherwise(F.lit(0))
             ).alias("n_hits")
         )
     )

@@ -297,3 +297,53 @@ def test_mix_to_budget_plan_broadcasts_rates(spark):
     out = mix_to_budget(df, "doc_id", "source", F.col("tok"), F.lit(1), 500)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# plan shapes (exchange budgets — the per-operator lint-as-test)
+# ---------------------------------------------------------------------------
+
+
+def _n_exchanges(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # an executed AdaptiveSparkPlan prints Final AND Initial plans —
+    # count only the final section or every exchange double-counts
+    plan = plan.split("== Initial Plan ==")[0]
+    return plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    ), plan
+
+
+def test_chunk_dedup_exchange_budget(spark):
+    # one shuffle for the hash-keyed ranking window, one for the
+    # per-document reassembly — anything more is a regression
+    df = _docs(spark, [(i, f"a b c tail{i} x y") for i in range(50)])
+    n, plan = _n_exchanges(chunk_dedup(df, chunk_words=3))
+    assert n == 2, plan
+
+
+def test_decontaminate_exchange_budget(spark):
+    # corpus side: ONE shuffle (the per-key count_distinct agg); the
+    # benchmark side aggregates its tiny gram set before broadcast
+    corpus = _docs(spark, [(i, f"w{i} x y z") for i in range(50)])
+    bench = _docs(spark, [(0, "w0 x y z")])
+    df = decontaminate(corpus, bench, n=3)
+    df.collect()  # executed plan (AQE-final)
+    n, plan = _n_exchanges(df)
+    assert n == 2, plan
+    # and the corpus-side shuffle carries only (key, partial count) —
+    # no gram strings: the exchange feeding the final agg is keyed on
+    # __key alone, never (__key, __g)
+    import re
+
+    assert "hashpartitioning(__key" in plan
+    assert not re.search(r"hashpartitioning\(__key[^)]*__g", plan), plan
+
+
+def test_repetition_profile_exchange_budget(spark):
+    # (key, gram) count then per-key fold: both partial-aggregated, and
+    # the second groupBy reuses the first's hash partitioning on the
+    # shared prefix only if Spark plans it — assert the ceiling
+    df = _docs(spark, [(i, "a b a b c d") for i in range(30)])
+    n, plan = _n_exchanges(repetition_profile(df, n=2))
+    assert n <= 2, plan

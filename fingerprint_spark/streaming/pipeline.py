@@ -70,3 +70,52 @@ def streaming_dedup(
         "_chash", F.xxhash64(canonical_text_col(F.col(text_col)))
     )
     return hashed.dropDuplicatesWithinWatermark(["_chash"]).drop("_chash")
+
+
+def stream_decontaminate(
+    stream_df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    key_col: str = "url",
+    n: int = 13,
+) -> DataFrame:
+    """Streaming benchmark decontamination — fully STATELESS.
+
+    A join+groupBy per document would be a streaming aggregation keyed
+    by url: every url is unique, so its state grows without bound. The
+    stateless shape: the (static, tiny-by-nature) benchmark n-gram set
+    is collected ONCE at stream definition (driver-bounded — eval
+    benchmarks are a few thousand grams; for decontamination against a
+    huge reference corpus use the batch operator) and embedded as an
+    array literal, so each micro-batch row computes
+    ``array_intersect(its distinct grams, benchmark grams)`` narrowly:
+    no shuffle, no state, no watermark interaction. Emits
+    (key, n_hits, contaminated) per streaming document with verdicts
+    identical to operators/curation.decontaminate (tested)."""
+    from ..operators.curation import _ngrams_from_words, _words
+
+    bench_grams = sorted(
+        r["__g"]
+        for r in benchmark.select(
+            _words(F.col(text_col)).alias("__ws")
+        )
+        .select(
+            F.explode(_ngrams_from_words(F.col("__ws"), n)).alias("__g")
+        )
+        .distinct()
+        .collect()  # driver-bounded: benchmark gram set
+    )
+    bench_arr = F.array(*[F.lit(g) for g in bench_grams])
+    hits = F.size(
+        F.array_intersect(
+            F.array_distinct(
+                _ngrams_from_words(_words(F.col(text_col)), n)
+            ),
+            bench_arr,
+        )
+    )
+    return stream_df.select(
+        F.col(key_col).alias(key_col),
+        hits.cast("bigint").alias("n_hits"),
+        (hits > 0).cast("int").alias("contaminated"),
+    )

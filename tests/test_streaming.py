@@ -97,3 +97,58 @@ def test_streaming_dedup_bounded_state(spark, tmp_path):
     rows = spark.sql("SELECT * FROM sdd").collect()
     texts = [r["text"] for r in rows]
     assert len(texts) == len(set(texts)) == 50
+
+
+def test_stream_decontaminate_stateless_matches_batch(spark, tmp_path):
+    """Streaming decontamination: stateless narrow flag per micro-batch
+    row; verdicts identical to the batch operator; executed plan carries
+    no StateStore and no Exchange."""
+    from pyspark.sql import Row
+
+    from fingerprint_spark.operators.curation import decontaminate
+    from fingerprint_spark.streaming.pipeline import stream_decontaminate
+
+    rows = [
+        Row(url=f"u{i}",
+            text=("leak this exact benchmark phrase now " if i % 3 == 0
+                  else "clean words only here today ") + f"tail{i} pad pad")
+        for i in range(30)
+    ]
+    src = str(tmp_path / "decon_src")
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(src)
+    bench = spark.createDataFrame(
+        [Row(url="b", text="this exact benchmark phrase")]
+    )
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_decontaminate(stream, bench, n=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sdecon")
+        .option("checkpointLocation", str(tmp_path / "ckpt_decon"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = q.lastProgress
+    finally:
+        q.stop()
+    got = {
+        r["url"]: (r["n_hits"], r["contaminated"])
+        for r in spark.sql("SELECT * FROM sdecon").collect()
+    }
+    batch = decontaminate(
+        spark.read.parquet(src), bench, key_col="url", n=3
+    )
+    want = {r["doc_id" if "doc_id" in batch.columns else "url"]:
+            (r["n_hits"], r["contaminated"]) for r in batch.collect()}
+    assert got == want and len(got) == 30
+    assert any(v[1] == 1 for v in got.values())
+    assert any(v[1] == 0 for v in got.values())
+    # stateless: the streaming progress reports zero state rows
+    assert not progress or not progress.get("stateOperators")

@@ -2082,3 +2082,66 @@ FROM t JOIN r USING (source)
 
 
 ORACLE_QUERIES.update({"mix_budget": (q_mix_budget, sql_mix_budget)})
+
+
+# decomposed / mojibake sample suffixes, chosen by doc_id % 4: combining
+# acute, combining tilde + latin-1 mojibake, combining diaeresis + em-dash
+# mojibake, plain ascii (the no-op control)
+NFC_SAMPLES = [
+    "cafe\u0301 du parc",          # combining acute: NFC -> caf\u00e9
+    "man\u0303ana \u00c3\u00a9 clean",  # combining tilde + e-acute mojibake
+    "noe\u0308l \u00e2\u20ac\u201d fin",  # combining diaeresis + em-dash mojibake
+    "plain ascii only",            # the no-op control
+]
+
+
+def q_nfc_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization (functions/normalize.py): per doc a
+    deterministic decomposed/mojibake suffix is appended, repaired
+    (JVM replace chain) and NFC-normalized (one Arrow stage with
+    CPython's unicodedata); DuckDB recomputes with its native
+    nfc_normalize over the SAME generated replace chain — byte-exact
+    or the row fails."""
+    from .functions.normalize import mojibake_fix_col, nfc_normalize_col
+
+    raw = F.concat(
+        F.lit("doc "), F.col("doc_id").cast("string"), F.lit(" "),
+        F.element_at(
+            F.array(*[F.lit(s) for s in NFC_SAMPLES]),
+            (F.col("doc_id") % 4 + 1).cast("int"),
+        ),
+    )
+    return _doc(spark, sf_dir).select(
+        "doc_id",
+        nfc_normalize_col(mojibake_fix_col(raw)).alias("text_norm"),
+        F.length(raw).cast("bigint").alias("len_raw"),
+        F.length(nfc_normalize_col(mojibake_fix_col(raw)))
+        .cast("bigint")
+        .alias("len_norm"),
+    )
+
+
+def sql_nfc_norm() -> str:
+    from .functions.normalize import MOJIBAKE_TABLE
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    cases = " ".join(
+        f"WHEN {i} THEN '{esc(s)}'" for i, s in enumerate(NFC_SAMPLES)
+    )
+    fixed = "raw"
+    for bad, good in MOJIBAKE_TABLE:
+        fixed = f"replace({fixed}, '{esc(bad)}', '{esc(good)}')"
+    return f"""
+WITH r AS (SELECT doc_id,
+    'doc ' || doc_id || ' ' || (CASE doc_id % 4 {cases} END) AS raw
+  FROM documents)
+SELECT doc_id, nfc_normalize({fixed}) AS text_norm,
+  length(raw)::bigint AS len_raw,
+  length(nfc_normalize({fixed}))::bigint AS len_norm
+FROM r
+"""
+
+
+ORACLE_QUERIES.update({"nfc_norm": (q_nfc_norm, sql_nfc_norm)})

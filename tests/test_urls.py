@@ -115,3 +115,44 @@ def test_domain_reputation_rates_and_flag(spark):
     assert out["bad.com"]["n_docs"] == 4
     assert out["bad.com"]["keep_permille"] == 0
     assert out["bad.com"]["below_corpus_rate"] == 1
+
+
+# ---------------------------------------------------------------------------
+# unicode normalization (functions/normalize.py)
+# ---------------------------------------------------------------------------
+
+
+def test_mojibake_chain_prefix_ordering(spark):
+    """The bare 2-char sequence is a prefix of the 3-char digraphs: the
+    chain must fix the long ones first or it destroys them."""
+    from fingerprint_spark.functions.normalize import mojibake_fix_col
+
+    src = "aâ€™b â€ c Ã©"
+    got = (
+        spark.range(1)
+        .select(mojibake_fix_col(F.lit(src)).alias("t"))
+        .head()["t"]
+    )
+    assert got == "a’b ” c é"
+
+
+def test_nfc_normalize_and_nulls(spark):
+    from pyspark.sql import Row
+
+    from fingerprint_spark.functions.normalize import nfc_normalize_col
+
+    df = spark.createDataFrame(
+        [Row(t="café"), Row(t=None), Row(t="ascii")], "t string"
+    )
+    got = [r["n"] for r in
+           df.select(nfc_normalize_col(F.col("t")).alias("n")).collect()]
+    assert got == ["café", None, "ascii"]
+
+
+def test_nfc_idempotent_on_normalized_text(spark):
+    from fingerprint_spark.functions.normalize import nfc_normalize_col
+
+    once = nfc_normalize_col(F.lit("noël mélange"))
+    twice = nfc_normalize_col(once)
+    row = spark.range(1).select(once.alias("a"), twice.alias("b")).head()
+    assert row["a"] == row["b"] == "noël mélange"

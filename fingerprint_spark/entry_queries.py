@@ -2145,3 +2145,96 @@ FROM r
 
 
 ORACLE_QUERIES.update({"nfc_norm": (q_nfc_norm, sql_nfc_norm)})
+
+
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash signatures -> LSH band
+    candidates -> exact n-gram Jaccard verify -> connected components ->
+    cluster assignment. Groups are SYNTHESIZED (3 variants per base
+    text, word-level jaccard ~0.9 within a group), and the ORACLE
+    brute-forces the truth: all-pairs exact shingle jaccard in DuckDB
+    plus recursive-CTE components. The LSH candidate stage must
+    therefore have ZERO false negatives at the 0.8 threshold (and the
+    verify stage kills its false positives) or the row fails — a much
+    stronger check than rows-only. (A construction-only oracle fails
+    here: the random corpus genuinely contains cross-group near-dups
+    that correctly merge clusters.)"""
+    from .operators.components import connected_components
+    from .operators.dedup import minhash_candidates, ngram_jaccard_verify
+
+    docs = _doc(spark, sf_dir).select("doc_id", "text")
+    bases = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("base"), F.col("text").alias("base_text")
+    )
+    v = (
+        docs.select(
+            "doc_id", (F.col("doc_id") - F.col("doc_id") % 3).alias("base")
+        )
+        .join(bases, "base")
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("base_text"), F.lit(" zz"),
+                (F.col("doc_id") % 3).cast("string"),
+            ).alias("text_v"),
+        )
+    )
+    cand = minhash_candidates(v, "text_v", "doc_id").select("key_a", "key_b")
+    edges = ngram_jaccard_verify(cand, v, "text_v", "doc_id").filter(
+        F.col("jaccard") >= 0.8
+    )
+    cc = connected_components(edges)
+    assigned = (
+        v.select("doc_id")
+        .join(cc, v.doc_id == cc.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    out = assigned.join(sizes, "cluster_id")
+    from .caching import release_tracked
+
+    out = out.select(
+        "doc_id", F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_rep"),
+    )
+    release_tracked()
+    return out
+
+
+def sql_neardup_clusters() -> str:
+    return """
+WITH RECURSIVE
+v AS (SELECT d.doc_id,
+    b.text || ' zz' || (d.doc_id % 3) AS text_v
+  FROM documents d JOIN documents b ON b.doc_id = d.doc_id - d.doc_id % 3),
+sh AS (SELECT doc_id,
+    list_distinct([array_to_string(ws[i+1 : i+3], ' ')
+      FOR i IN range(0, greatest(len(ws) - 3, 0) + 1)]) AS s
+  FROM (SELECT doc_id,
+      string_split_regex(trim(lower(text_v)), '\\s+') AS ws FROM v)),
+e AS (SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s))::double
+      / greatest(len(list_distinct(list_concat(a.s, b.s))), 1) >= 0.8),
+edges AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+reach(node, comp) AS (
+  SELECT doc_id, doc_id FROM v
+  UNION
+  SELECT edges.b, reach.comp FROM reach JOIN edges ON edges.a = reach.node),
+cc AS (SELECT node AS doc_id, min(comp) AS cluster_id
+  FROM reach GROUP BY node)
+SELECT doc_id, cluster_id::bigint AS cluster_id,
+  (count(*) OVER (PARTITION BY cluster_id))::bigint AS cluster_size,
+  (doc_id = cluster_id)::int AS is_rep
+FROM cc
+"""
+
+ORACLE_QUERIES.update(
+    {"neardup_clusters": (q_neardup_clusters, sql_neardup_clusters)}
+)

@@ -2196,15 +2196,14 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("cluster_size")
     )
     out = assigned.join(sizes, "cluster_id")
-    from .caching import release_tracked
-
-    out = out.select(
+    # minhash/jaccard pin track_persist caches; the MATERIALIZING caller
+    # releases them (caching.release_tracked) — releasing here, before
+    # any action, would drop them unused
+    return out.select(
         "doc_id", F.col("cluster_id").cast("bigint").alias("cluster_id"),
         "cluster_size",
         (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_rep"),
     )
-    release_tracked()
-    return out
 
 
 def sql_neardup_clusters() -> str:
@@ -2238,3 +2237,62 @@ FROM cc
 ORACLE_QUERIES.update(
     {"neardup_clusters": (q_neardup_clusters, sql_neardup_clusters)}
 )
+
+
+PAGERANK_ITERS = 10
+PAGERANK_DAMPING = 0.85
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank (operators/components.pagerank) over a
+    deterministic 2-out-regular graph derived from doc_id arithmetic
+    (self-loops kept, so outdegree is exactly 2 and no dangling mass).
+    Fixed 10 iterations; the oracle UNROLLS the same 10 iterations as
+    chained CTEs with identical double literals, and scores compare as
+    floor(score * 1e6) — drift bounded by ~1e-14 absolute, 8 orders
+    under the comparison grain."""
+    from .operators.components import pagerank
+
+    docs = _doc(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    d = F.col("doc_id")
+    edges = docs.select(
+        d.alias("src"),
+        F.explode(
+            F.array((d * 7 + 3) % n, (d * 13 + 1) % n)
+        ).alias("dst"),
+    )
+    pr = pagerank(docs, edges, "doc_id", PAGERANK_ITERS, PAGERANK_DAMPING)
+    return pr.select(
+        "doc_id",
+        F.floor(F.col("score") * 1e6).cast("bigint").alias("rank_scaled"),
+    )
+
+
+def sql_pagerank() -> str:
+    d = PAGERANK_DAMPING
+    prev = "pr0"
+    ctes = [
+        "nn AS (SELECT count(*) AS n FROM documents)",
+        ("edges AS (SELECT doc_id AS src, (doc_id*7+3) % (SELECT n FROM nn)"
+         " AS dst FROM documents UNION ALL SELECT doc_id,"
+         " (doc_id*13+1) % (SELECT n FROM nn) FROM documents)"),
+        "pr0 AS (SELECT doc_id, 1.0/(SELECT n FROM nn) AS score FROM documents)",
+    ]
+    for i in range(1, PAGERANK_ITERS + 1):
+        ctes.append(
+            f"pr{i} AS (SELECT d.doc_id, "
+            f"(1.0-{d})/(SELECT n FROM nn) + {d} * coalesce(c.s, 0) AS score "
+            f"FROM documents d LEFT JOIN (SELECT dst, sum(score/2) AS s "
+            f"FROM edges JOIN {prev} p ON p.doc_id = edges.src GROUP BY dst) c "
+            f"ON c.dst = d.doc_id)"
+        )
+        prev = f"pr{i}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id, floor(score * 1e6)::bigint AS rank_scaled"
+          f" FROM {prev}"
+    )
+
+
+ORACLE_QUERIES.update({"pagerank": (q_pagerank, sql_pagerank)})

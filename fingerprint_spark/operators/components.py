@@ -98,6 +98,71 @@ def connected_components(
     ).distinct()
 
 
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    key_col: str = "doc_id",
+    iterations: int = 10,
+    damping: float = 0.85,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Power-iteration PageRank: (key, score) after a FIXED number of
+    iterations (fixed-count, not convergence-tested, so two engines can
+    agree bit-for-bit-ish and the oracle can unroll the same count).
+
+    The 100 TB iterative shape: edges are hash-partitioned on the
+    source key ONCE and persisted, so every iteration's join reuses the
+    same partitioning (one shuffle per iteration for the groupBy, none
+    for the edge scan); ranks are localCheckpoint'd every
+    ``checkpoint_every`` rounds — without lineage truncation the plan
+    doubles per iteration and the driver OOMs planning long chains
+    (same pattern as the large/small-star loop above).
+
+    Dangling nodes (no out-edges) are supported: their outdegree join
+    is empty so they contribute nothing (the standard simplification;
+    redistribute-dangling-mass variants change only the per-iteration
+    constant).
+    """
+    n = nodes.count()
+    key = F.col(key_col)
+    out_deg = edges.groupBy(F.col("src").alias("__u")).agg(
+        F.count("*").alias("__deg")
+    )
+    from ..caching import track_persist
+
+    e = track_persist(
+        edges.join(out_deg, edges["src"] == F.col("__u"))
+        .select("src", "dst", "__deg")
+        .repartition("src")
+    )
+    base = F.lit((1.0 - damping) / n)
+    ranks = nodes.select(key.alias("__node")).withColumn(
+        "score", F.lit(1.0 / n)
+    )
+    for i in range(iterations):
+        contribs = (
+            e.join(ranks, e["src"] == ranks["__node"])
+            .select("dst", (F.col("score") / F.col("__deg")).alias("__c"))
+            .groupBy("dst")
+            .agg(F.sum("__c").alias("__s"))
+        )
+        ranks = (
+            nodes.select(key.alias("__node"))
+            .join(contribs, F.col("__node") == contribs["dst"], "left")
+            .select(
+                "__node",
+                (base + F.lit(damping) * F.coalesce(F.col("__s"), F.lit(0.0))
+                 ).alias("score"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    # e stays pinned through the caller's action (track_persist —
+    # released via caching.release_tracked AFTER materialization; an
+    # unpersist here would fire before the lazy plan ever runs)
+    return ranks.select(F.col("__node").alias(key_col), "score")
+
+
 def dedup_connected(
     df: DataFrame,
     pairs: DataFrame,

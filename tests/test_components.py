@@ -58,3 +58,55 @@ def test_dedup_connected_keeps_component_minimum(spark):
 def test_string_keys(spark):
     comp = _cc(spark, [("b", "c"), ("a", "b")])
     assert comp["c"] == "a" and comp["b"] == "a"
+
+
+def test_pagerank_two_node_cycle_and_dangling(spark):
+    """Hand-checkable: a<->b cycle is symmetric (equal scores); dangling
+    node c (no out-edges, one in-edge from a) drains mass but still
+    receives its share."""
+    from pyspark.sql import Row
+
+    from fingerprint_spark.operators.components import pagerank
+
+    nodes = spark.createDataFrame(
+        [Row(doc_id=0), Row(doc_id=1), Row(doc_id=2)]
+    )
+    edges = spark.createDataFrame(
+        [Row(src=0, dst=1), Row(src=0, dst=2), Row(src=1, dst=0)]
+    )
+    got = {r["doc_id"]: r["score"]
+           for r in pagerank(nodes, edges, iterations=20).collect()}
+    # b and c each receive a/2 (equal inflow -> equal scores); a gets
+    # ALL of b's mass and sits strictly above both
+    assert got[0] > got[1] > 0
+    assert abs(got[1] - got[2]) < 1e-15
+    # fixed-point check: recompute one more step by hand from got
+    import math
+    base = 0.15 / 3
+    nxt0 = base + 0.85 * got[1]                 # b's single out-edge
+    nxt1 = base + 0.85 * (got[0] / 2)
+    nxt2 = base + 0.85 * (got[0] / 2)
+    assert math.isclose(nxt0, got[0], rel_tol=1e-3)
+    assert math.isclose(nxt1, got[1], rel_tol=1e-3)
+    assert math.isclose(nxt2, got[2], rel_tol=1e-3)
+
+
+def test_pagerank_partitioning_invariant(spark):
+    from pyspark.sql import Row
+
+    from fingerprint_spark.operators.components import pagerank
+
+    nodes = spark.createDataFrame([Row(doc_id=i) for i in range(40)])
+    edges = spark.createDataFrame(
+        [Row(src=i, dst=(i * 7 + 3) % 40) for i in range(40)]
+        + [Row(src=i, dst=(i * 13 + 1) % 40) for i in range(40)]
+    )
+    a = {r["doc_id"]: r["score"]
+         for r in pagerank(nodes.repartition(1), edges.repartition(1),
+                           iterations=8).collect()}
+    b = {r["doc_id"]: r["score"]
+         for r in pagerank(nodes.repartition(16), edges.repartition(16, "dst"),
+                           iterations=8).collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-12

@@ -50,6 +50,9 @@ HEADLINE = [
     "decontam",           # broadcast benchmark n-gram overlap
     "url_curation",       # canonicalize + eTLD+1 + blocklist + dedup
     "pipeline_curate",    # end-to-end: quality x dedup x decontam x sample
+    "boilerplate",        # over-threshold chunk popularity + rewrite
+    "neardup_clusters",   # minhash -> LSH -> verify -> components
+    "pagerank",           # 10-iteration power method (iterative shape)
 ]
 
 
@@ -220,6 +223,7 @@ SF1_QUERIES = [
     "embedding_topk", "langid", "gopher_flags", "events_hourly",
     "jaccard_adjacent", "extract_hash", "xlsx_decode",
     "chunk_dedup", "decontam", "url_curation", "pipeline_curate",
+    "boilerplate", "neardup_clusters", "pagerank",
 ]
 
 

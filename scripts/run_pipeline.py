@@ -372,7 +372,8 @@ def _curate_mode(argv: list[str]) -> int:
     if not paths or "output" not in opts:
         print("usage: curate <corpus.parquet> --output DIR "
               "[--chunk-words N] [--max-docs N] [--benchmark PARQUET] "
-              "[--decontam-n N] [--text-col text] [--key-col url]",
+              "[--decontam-n N] [--text-col text] [--key-col url] "
+              "[--shards N  (audited hash-sharded output + _MANIFEST)]",
               file=sys.stderr)
         return 2
     from pyspark.sql import Observation, SparkSession
@@ -418,6 +419,17 @@ def _curate_mode(argv: list[str]) -> int:
             & (F.col("n_kept") > 0)
         ).cast("int"),
     )
+    if "shards" in opts:
+        from fingerprint_spark.sinks import write_training_shards
+
+        manifest = write_training_shards(
+            out, opts["output"], key_col, int(opts["shards"])
+        )
+        print(json.dumps({"metric": "curate", "sharded": True,
+                          "n_shards": manifest["n_shards"],
+                          "docs": manifest["total_rows"],
+                          "output": opts["output"]}))
+        return 0
     obs = Observation("curate")
     out = out.observe(
         obs,

@@ -399,3 +399,31 @@ def test_cli_curate_subcommand(spark, tmp_path):
             "contaminated", "final_keep"} <= cols
     # contamination forces final_keep = 0 corpus-wide here
     assert got.agg(F.sum("final_keep")).first()[0] == 0
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit not available"
+)
+def test_cli_curate_sharded_output(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from fingerprint_spark.sinks import verify_shards
+
+    corpus = str(tmp_path / "corpus.parquet")
+    out = str(tmp_path / "curated_shards")
+    spark.createDataFrame(
+        [Row(url=f"u{i}", text=f"clean words only here today tail{i} pad")
+         for i in range(30)]
+    ).write.mode("overwrite").parquet(corpus)
+    zip_path = build_pyfiles_zip(str(tmp_path / "pyfiles.zip"))
+    r = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]",
+         "--conf", "spark.ui.enabled=false", "--py-files", zip_path,
+         os.path.join(REPO, "scripts", "run_pipeline.py"), "curate",
+         corpus, "--output", out, "--chunk-words", "5", "--shards", "4"],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["sharded"] and summary["docs"] == 30
+    assert verify_shards(spark, out)["ok"]

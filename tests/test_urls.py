@@ -156,3 +156,22 @@ def test_nfc_idempotent_on_normalized_text(spark):
     twice = nfc_normalize_col(once)
     row = spark.range(1).select(once.alias("a"), twice.alias("b")).head()
     assert row["a"] == row["b"] == "noël mélange"
+
+
+def test_compression_ratio_signal(spark):
+    from pyspark.sql import Row
+    import zlib
+
+    from fingerprint_spark.functions.textstats import compression_ratio_col
+
+    prose = ("the quick brown fox jumps over the lazy dog and keeps "
+             "running through the quiet field toward the river bank") * 3
+    boiler = "nav bar item " * 80
+    rows = [Row(t=prose), Row(t=boiler), Row(t=""), Row(t=None)]
+    df = spark.createDataFrame(rows, "t string")
+    got = [r["r"] for r in
+           df.select(compression_ratio_col(F.col("t")).alias("r")).collect()]
+    exact = lambda v: len(zlib.compress(v.encode(), 6)) / len(v.encode())
+    assert got[0] == exact(prose) and got[1] == exact(boiler)
+    assert got[1] < got[0] < 1.0  # boilerplate compresses far better
+    assert got[2] is None and got[3] is None

@@ -2296,3 +2296,118 @@ def sql_pagerank() -> str:
 
 
 ORACLE_QUERIES.update({"pagerank": (q_pagerank, sql_pagerank)})
+
+
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms with deterministic ties
+    (score desc, term asc). DF counts shuffle only (term, partial
+    count) pairs — hot stopword terms partial-aggregate map-side.
+    Scores compare as floor(tf * ln(N/df) * 1e6): both engines evaluate
+    the same double expression tree, drift ~1e-15 << the grain."""
+    from .operators.curation import _words
+
+    docs = _doc(spark, sf_dir)
+    n = docs.count()
+    tf = (
+        docs.select("doc_id", F.explode(_words(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_counts = tf.groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    scored = tf.join(df_counts, "term").withColumn(
+        "score_scaled",
+        F.floor(
+            F.col("tf")
+            * F.log(F.lit(float(n)) / F.col("df"))
+            * F.lit(1e6)
+        ).cast("bigint"),
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.desc("score_scaled"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id", F.col("rk").cast("int").alias("rk"), "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            "score_scaled",
+        )
+    )
+
+
+def sql_tfidf_topterms() -> str:
+    return """
+WITH w AS (SELECT doc_id,
+    unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                       x -> x <> '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
+    floor(tf.tf * ln((SELECT count(*) FROM documents)::double / dfc.df)
+          * 1e6)::bigint AS score_scaled
+  FROM tf JOIN dfc USING (term)),
+rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+    ORDER BY score_scaled DESC, term) AS rk FROM sc)
+SELECT doc_id, rk::int AS rk, term, tf::bigint AS tf, df::bigint AS df,
+  score_scaled
+FROM rk WHERE rk <= 3
+"""
+
+
+ORACLE_QUERIES.update({"tfidf_topterms": (q_tfidf_topterms, sql_tfidf_topterms)})
+
+
+def q_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link extraction: per doc a deterministic html snippet with anchor
+    tags (single/double-quoted hrefs, one nofollow decoy attribute) is
+    synthesized, hrefs extracted JVM-side via regexp_extract_all, and
+    per-target-host outdegree aggregated — the web-graph build step.
+    The oracle recomputes extraction with DuckDB's regexp_extract_all
+    over the same synthesized html."""
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit('<p>intro</p><a href="https://h'), (d % 5).cast("string"),
+        F.lit('.example.com/a'), d.cast("string"),
+        F.lit('">x</a> <a rel=nofollow href=\'http://h'),
+        ((d + 1) % 5).cast("string"),
+        F.lit(".example.com/b'>y</a><img src=\"not-a-link.png\">"),
+    )
+    links = F.regexp_extract_all(
+        F.col("html"), F.lit("href=[\"']([^\"']+)[\"']"), F.lit(1)
+    )
+    ex = (
+        _doc(spark, sf_dir)
+        .select("doc_id", html.alias("html"))
+        .select("doc_id", F.explode(links).alias("href"))
+    )
+    host = F.regexp_extract(F.col("href"), r"https?://([^/]+)/", 1)
+    return (
+        ex.select(host.alias("target_host"))
+        .groupBy("target_host")
+        .agg(F.count("*").cast("bigint").alias("n_links"))
+    )
+
+
+def sql_outlinks() -> str:
+    return """
+WITH h AS (SELECT doc_id,
+    '<p>intro</p><a href="https://h' || (doc_id % 5)
+      || '.example.com/a' || doc_id
+      || '">x</a> <a rel=nofollow href=''http://h' || ((doc_id + 1) % 5)
+      || '.example.com/b''>y</a><img src="not-a-link.png">' AS html
+  FROM documents),
+ex AS (SELECT doc_id,
+    unnest(regexp_extract_all(html, 'href=["'']([^"'']+)["'']', 1)) AS href
+  FROM h)
+SELECT regexp_extract(href, 'https?://([^/]+)/', 1) AS target_host,
+  count(*)::bigint AS n_links
+FROM ex GROUP BY 1
+"""
+
+
+ORACLE_QUERIES.update({"outlinks": (q_outlinks, sql_outlinks)})

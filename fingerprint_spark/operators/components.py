@@ -125,6 +125,8 @@ def pagerank(
     """
     n = nodes.count()
     key = F.col(key_col)
+    if n == 0:  # empty graph: schema-stable empty result, not a 1/0
+        return nodes.select(key, F.lit(0.0).alias("score"))
     out_deg = edges.groupBy(F.col("src").alias("__u")).agg(
         F.count("*").alias("__deg")
     )

@@ -68,8 +68,16 @@ def write_training_shards(
 
 
 def _fold_shards(spark: SparkSession, path: str, key_col: str) -> dict:
+    from pyspark.errors import AnalysisException
+
+    try:
+        src = spark.read.parquet(path)
+    except AnalysisException:
+        # an empty dataset writes no parquet files at all — an audited
+        # empty corpus is a valid (zero-shard) output, not an error
+        return {"shards": {}, "total_rows": 0}
     rows = (
-        spark.read.parquet(path)
+        src
         .groupBy("shard")
         .agg(
             F.count("*").alias("rows"),

@@ -347,3 +347,42 @@ def test_repetition_profile_exchange_budget(spark):
     df = _docs(spark, [(i, "a b a b c d") for i in range(30)])
     n, plan = _n_exchanges(repetition_profile(df, n=2))
     assert n <= 2, plan
+
+
+# ---------------------------------------------------------------------------
+# empty-corpus robustness: schema-stable, zero rows, no crash
+# ---------------------------------------------------------------------------
+
+
+def test_curation_ops_on_empty_corpus(spark):
+    from fingerprint_spark.operators.curation import (
+        boilerplate_filter, mix_to_budget,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert chunk_dedup(empty).count() == 0
+    assert chunk_dedup(empty).columns == [
+        "doc_id", "n_chunks", "n_kept", "text_dedup"]
+    assert boilerplate_filter(empty).count() == 0
+    assert decontaminate(empty, empty).count() == 0
+    assert repetition_profile(empty).count() == 0
+    e2 = spark.createDataFrame([], "doc_id long, source string, tok long")
+    assert mix_to_budget(e2, "doc_id", "source", F.col("tok"),
+                         F.lit(1), 500).count() == 0
+
+
+def test_graph_and_sink_on_empty(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from fingerprint_spark.operators.components import pagerank
+    from fingerprint_spark.sinks import verify_shards, write_training_shards
+
+    nodes = spark.createDataFrame([Row(doc_id=0)]).limit(0)
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(nodes, edges, iterations=2).count() == 0
+    out = str(tmp_path / "empty_shards")
+    m = write_training_shards(
+        spark.createDataFrame([], "url string, text string"), out, "url", 4
+    )
+    assert m["total_rows"] == 0
+    assert verify_shards(spark, out)["ok"]

@@ -108,21 +108,23 @@ def domain_reputation(
     The C4/RefinedWeb pattern: run the per-document quality filter,
     aggregate keep-rate per domain, then feed the (tiny) domain table
     back as a broadcast to drop or downweight low-reputation domains on
-    the next pass. keep_permille is floor(1000*keeps/docs) — integer on
-    both engines, so the oracle comparison is exact; below_corpus_rate
+    the next pass. keep_permille is (1000*keeps) div docs — exact integer
+    division on both engines, so the oracle comparison is exact; below_corpus_rate
     compares against the corpus-wide permille (a broadcast single-row
     cross join, not a collect)."""
     per_dom = df.groupBy(F.col(domain_col).alias("domain")).agg(
         F.count("*").alias("n_docs"),
         F.sum(F.col(keep_col).cast("long")).alias("n_keep"),
     )
+    # div, not floor(a/b): double division can mis-floor near-integer
+    # quotients (and overflows 2^53 exactness at large counts) — the
+    # oracle computes exact integer division, so must the engine
     per_dom = per_dom.withColumn(
-        "keep_permille",
-        F.floor(F.lit(1000) * F.col("n_keep") / F.col("n_docs")),
+        "keep_permille", F.expr("(1000 * n_keep) div n_docs")
     )
     overall = df.agg(
-        F.floor(
-            F.lit(1000) * F.sum(F.col(keep_col).cast("long")) / F.count("*")
+        F.expr(
+            f"(1000 * sum(cast({keep_col} as bigint))) div count(*)"
         ).alias("__corpus_permille")
     )
     return (

@@ -327,9 +327,18 @@ def mix_to_budget(
         )
         .withColumn(
             "rate_permille",
-            F.least(
-                F.lit(1000),
-                F.expr("(1000 * __w_s * __budget_tok) div (__sum_w * __tok_s)"),
+            # a zero-token stratum is oversubscribed by definition
+            # (any target share exceeds its whole mass): cap at 1000.
+            # Guarding matters: ANSI mode makes the div a hard
+            # DIVIDE_BY_ZERO task failure, not a null
+            F.when(F.col("__tok_s") <= 0, F.lit(1000)).otherwise(
+                F.least(
+                    F.lit(1000),
+                    F.expr(
+                        "(1000 * __w_s * __budget_tok)"
+                        " div (__sum_w * __tok_s)"
+                    ),
+                )
             ),
         )
         .select("__s", "rate_permille")

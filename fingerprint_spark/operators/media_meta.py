@@ -45,7 +45,16 @@ def _walk_boxes(data: bytes, start: int, end: int):
 
 def parse_mp4(payload: bytes) -> dict:
     """mp4 bytes -> {duration_ms, n_tracks, width, height, brands,
-    track_kinds}. Width/height from the first visual tkhd."""
+    track_kinds}. Width/height from the first visual tkhd. Truncated
+    boxes surface as ValueError (the documented contract — upstream
+    operators catch ValueError only), never struct.error."""
+    try:
+        return _parse_mp4_inner(payload)
+    except struct.error as e:  # short buffer inside a "valid-size" box
+        raise ValueError(f"mp4: truncated box payload ({e})") from None
+
+
+def _parse_mp4_inner(payload: bytes) -> dict:
     if len(payload) < 12 or payload[4:8] != b"ftyp":
         raise ValueError("not an mp4 (no ftyp)")
     brands = [payload[8:12].decode("latin-1")]
@@ -167,11 +176,17 @@ def parse_mp3(payload: bytes) -> dict:
         version = (b1 >> 3) & 0x03   # 3 = MPEG-1
         layer = (b1 >> 1) & 0x03     # 1 = Layer III
         if version != 3 or layer != 1:
-            raise ValueError("mp3: only MPEG-1 Layer III supported")
+            if n_frames:
+                break
+            pos += 1  # false sync in leading junk: keep scanning
+            continue
         br_idx = (b2 >> 4) & 0x0F
         sr_idx = (b2 >> 2) & 0x03
         if br_idx in (0, 15) or sr_idx == 3:
-            raise ValueError("mp3: bad bitrate/samplerate index")
+            if n_frames:
+                break
+            pos += 1  # false sync: resync rather than refuse the file
+            continue
         padding = (b2 >> 1) & 0x01
         mode = (b3 >> 6) & 0x03
         bitrate = _MP3_BITRATES[br_idx] * 1000
@@ -186,6 +201,11 @@ def parse_mp3(payload: bytes) -> dict:
         pos += frame_len
     if not n_frames:
         raise ValueError("not an mp3 (no frame sync)")
+    # a single "frame" that doesn't run to end-of-payload is almost
+    # certainly a random 0xFFFB pair in binary junk, not audio — a real
+    # 1-frame mp3 ends exactly at the frame boundary
+    if n_frames == 1 and pos < len(payload):
+        raise ValueError("mp3: lone false frame in non-audio bytes")
     # MPEG-1 Layer III: 1152 samples per frame
     duration_ms = int(n_frames * 1152 * 1000 // sample_rate)
     return {

@@ -157,6 +157,8 @@ def frame_sample(
     Unparseable bytes contribute zero rows (a row outcome)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_meta import parse_mp4  # once per task, not per row
+
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
@@ -165,8 +167,6 @@ def frame_sample(
                     d = hashlib.sha256(raw).digest()
                     duration_ms = 500 + int.from_bytes(d[:2], "big") * 4
                 else:
-                    from .media_meta import parse_mp4
-
                     try:
                         duration_ms = parse_mp4(raw)["duration_ms"]
                     except ValueError:

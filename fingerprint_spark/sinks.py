@@ -81,10 +81,12 @@ def _fold_shards(spark: SparkSession, path: str, key_col: str) -> dict:
         .groupBy("shard")
         .agg(
             F.count("*").alias("rows"),
-            # xor-fold: order-insensitive, duplicate- and drop-sensitive
+            # xor-fold: order-insensitive, duplicate- and drop-
+            # sensitive. bit_xor aggregates with O(1) state — a
+            # collect_list-then-fold would buffer every row hash of a
+            # shard in one aggregation buffer (OOM at real shard sizes)
             F.expr(
-                f"aggregate(collect_list(xxhash64(cast({key_col} as string))),"
-                " cast(0 as bigint), (a, x) -> a ^ x)"
+                f"bit_xor(xxhash64(cast({key_col} as string)))"
             ).alias("key_fold"),
         )
         .collect()  # driver-bounded: one row per shard

@@ -106,16 +106,19 @@ def stream_decontaminate(
         .collect()  # driver-bounded: benchmark gram set
     )
     bench_arr = F.array(*[F.lit(g) for g in bench_grams])
+    # two-step projection (the repo's lambda-CSE rule): materialize the
+    # words array before the n-gram lambdas slice it, or split+filter
+    # re-runs once per n-gram per row on the streaming hot path
     hits = F.size(
         F.array_intersect(
-            F.array_distinct(
-                _ngrams_from_words(_words(F.col(text_col)), n)
-            ),
+            F.array_distinct(_ngrams_from_words(F.col("__ws"), n)),
             bench_arr,
         )
     )
     return stream_df.select(
-        F.col(key_col).alias(key_col),
+        F.col(key_col), _words(F.col(text_col)).alias("__ws")
+    ).select(
+        F.col(key_col),
         hits.cast("bigint").alias("n_hits"),
         (hits > 0).cast("int").alias("contaminated"),
     )

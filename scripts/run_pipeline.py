@@ -387,7 +387,7 @@ def _curate_mode(argv: list[str]) -> int:
 
     ensure_pyfiles(spark)
     from fingerprint_spark.operators.curation import (
-        chunk_dedup, decontaminate,
+        boilerplate_filter, chunk_dedup, decontaminate,
     )
     from fingerprint_spark.pipeline import quality_filter_text
 
@@ -401,7 +401,14 @@ def _curate_mode(argv: list[str]) -> int:
         F.col("keep").cast("int").alias("keep_quality"),
         F.col("drop_reason"),
     )
-    ded = chunk_dedup(df, text_col, key_col, chunk_words)
+    if "max_docs" in opts:
+        # RefinedWeb mode: chunks in > max-docs documents are removed
+        # from EVERY document (no first occurrence survives)
+        ded = boilerplate_filter(
+            df, text_col, key_col, chunk_words, int(opts["max_docs"])
+        ).withColumnRenamed("text_clean", "text_dedup")
+    else:
+        ded = chunk_dedup(df, text_col, key_col, chunk_words)
     out = base.join(ded, key_col)
     if "benchmark" in opts:
         bench = spark.read.parquet(opts["benchmark"])

@@ -144,3 +144,41 @@ def test_image_features_webp_dims_real(spark):
     r = image_features(df, use_fake_codec=False).collect()[0]
     assert (r["width"], r["height"]) == (123, 45)
     assert r["mean_luma"] is None and r["n_channels"] is None
+
+
+def test_mp4_truncated_box_raises_valueerror():
+    """Truncated-but-valid-size boxes must surface as ValueError (the
+    operators catch ValueError only), never struct.error."""
+    import struct
+
+    from fingerprint_spark.operators.media_meta import make_mp4, parse_mp4
+
+    good = make_mp4(2000, 64, 36)
+    for cut in (13, 20, 40, len(good) - 3):
+        try:
+            parse_mp4(good[:cut])
+        except ValueError:
+            pass
+        except struct.error as e:  # pragma: no cover
+            raise AssertionError(f"struct.error escaped at cut={cut}: {e}")
+    # a moov with an mvhd whose declared size is valid but payload short
+    bad = good[:36] + struct.pack(">I4s", 12, b"mvhd") + b"\x00\x00\x00\x00"
+    try:
+        parse_mp4(bad)
+    except ValueError:
+        pass
+
+
+def test_mp3_resync_over_leading_junk_and_false_frame():
+    import pytest
+
+    from fingerprint_spark.operators.media_meta import make_mp3, parse_mp3
+
+    real = make_mp3(5)
+    # false sync bytes (0xFF 0xE5 = bad layer) before a real stream:
+    # the scanner must resync, not refuse
+    got = parse_mp3(b"\xff\xe5junk" + real)
+    assert got["n_frames"] == 5
+    # a lone 0xFFFB pair inside random bytes is NOT an mp3
+    with pytest.raises(ValueError):
+        parse_mp3(b"xx\xff\xfb\x92\x00" + b"A" * 500)

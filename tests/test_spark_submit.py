@@ -427,3 +427,35 @@ def test_cli_curate_sharded_output(spark, tmp_path):
     summary = json.loads(r.stdout.strip().splitlines()[-1])
     assert summary["sharded"] and summary["docs"] == 30
     assert verify_shards(spark, out)["ok"]
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit not available"
+)
+def test_cli_curate_max_docs_boilerplate_mode(spark, tmp_path):
+    """--max-docs switches the dedup stage to RefinedWeb remove-
+    everywhere semantics: the shared leading chunk vanishes from ALL
+    documents, including the first."""
+    from pyspark.sql import Row
+
+    corpus = str(tmp_path / "corpus.parquet")
+    out = str(tmp_path / "curated_bp")
+    spark.createDataFrame(
+        [Row(url=f"u{i}", text=f"nav bar chunk here five tail{i} a b c d")
+         for i in range(8)]
+    ).write.mode("overwrite").parquet(corpus)
+    zip_path = build_pyfiles_zip(str(tmp_path / "pyfiles.zip"))
+    r = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]",
+         "--conf", "spark.ui.enabled=false", "--py-files", zip_path,
+         os.path.join(REPO, "scripts", "run_pipeline.py"), "curate",
+         corpus, "--output", out, "--chunk-words", "5", "--max-docs", "2"],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = spark.read.parquet(out)
+    rows = {x["url"]: x for x in got.collect()}
+    # chunk 1 ("nav bar chunk here five") is in all 8 docs (> 2):
+    # removed everywhere; chunk 2 ("tailN a b c d") is unique: kept
+    assert all(r["n_kept"] == 1 for r in rows.values())
+    assert all(r["text_dedup"].startswith("tail") for r in rows.values())

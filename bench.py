@@ -155,6 +155,61 @@ def run_corpus_pipeline(cores: str, corpus_path: str) -> dict:
     }
 
 
+def run_corpus_curate(cores: str, corpus_path: str) -> dict:
+    """The SHUFFLE-HEAVY scaling leg: chunk-dedup + benchmark
+    decontamination over the scaling corpus. quality_filter is narrow
+    (0 Exchange), so its near-ideal scaling is the easy case; this leg
+    scales the wide stages (hash-window ranking, reassembly groupBy,
+    per-key count fold) — the honest test of the shuffle path."""
+    from pyspark.sql import functions as F
+
+    from fingerprint_spark.caching import release_tracked
+    from fingerprint_spark.operators.curation import (
+        chunk_dedup, decontaminate,
+    )
+    from fingerprint_spark.session import get_spark
+
+    # 64 shuffle partitions for BOTH legs: the session default sizes
+    # partitions to the core count, which gives the 16-core leg a
+    # single 16-task wave whose stragglers dominate; 64 tasks give
+    # both legs fine-grained waves (identical work split, fair compare)
+    spark = get_spark(
+        "fingerprint_spark_scaling_curate", cores=cores,
+        shuffle_partitions=64,
+    )
+    base = spark.read.parquet(corpus_path).select("url", "text")
+    # 4x replication with distinct keys: at 120k docs the wide stages
+    # finish in seconds and FIXED cost (planning, shuffle setup, task
+    # launch) dominates both legs, which measures the scheduler, not
+    # the engine. 480k docs puts minutes of real shuffle work on the
+    # clock; cross-replica duplicate chunks also deepen the ranking
+    # window's hash groups — the adversarial case.
+    reps = spark.range(4).select(F.col("id").cast("string").alias("rep"))
+    df = base.crossJoin(F.broadcast(reps)).select(
+        F.concat_ws("#", "url", "rep").alias("url"), "text"
+    )
+    n_docs = df.count()
+    bench = df.filter(F.xxhash64("url") % 101 == 7)
+    best = float("inf")
+    for i in range(4):  # run0 = warm-up; min-of-3
+        ded = chunk_dedup(df, "text", "url", chunk_words=12)
+        cont = decontaminate(df, bench, "text", "url", n=8)
+        t0 = time.perf_counter()
+        _materialize(ded.join(cont, "url"))
+        dt = time.perf_counter() - t0
+        release_tracked(spark)
+        if i > 0:
+            best = min(best, dt)
+    return {
+        "metric": "corpus_curate_time",
+        "value": round(best, 3),
+        "unit": "sec",
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / best, 1),
+        "cores": cores,
+    }
+
+
 def _ensure_scaling_corpus() -> None:
     if os.path.exists(SCALING_CORPUS):
         return
@@ -171,7 +226,8 @@ def _ensure_scaling_corpus() -> None:
     spark.stop()
 
 
-def run_scaling(sf_dir: str, n_small: int = 8, n_large: int = 32) -> dict:
+def run_scaling(sf_dir: str, n_small: int = 8, n_large: int = 32,
+                job: str = "pipeline") -> dict:
     """Same job, same input, local[N] vs local[4N], fresh JVM each.
 
     Input is a deterministic 60k-doc synthetic corpus (materialized once)
@@ -186,11 +242,21 @@ def run_scaling(sf_dir: str, n_small: int = 8, n_large: int = 32) -> dict:
         # uses ~2N cores and deflates measured efficiency. Pinning makes
         # N vs 4N honest — the cgroup-limited-executor shape of a real
         # cluster.
+        flag = "--corpus-curate" if job == "curate" else "--corpus-pipeline"
+        env = dict(os.environ)
+        if job == "curate":
+            # tmpfs-backed shuffle for BOTH legs: the wide stages push
+            # GBs through spark.local.dir, and one box's shared disk is
+            # a bandwidth ceiling that does NOT grow with cores — on a
+            # real cluster every node brings its own shuffle disks.
+            # tmpfs isolates the CPU-scaling question the north rule
+            # asks (the narrow-pipeline leg is unaffected: 0 Exchange).
+            env["SPARK_LOCAL_DIRS"] = "/dev/shm/fps_shuffle"
         r = subprocess.run(
             ["taskset", "-c", f"0-{cores - 1}",
              sys.executable, os.path.abspath(__file__), "--cores", str(cores),
-             "--corpus-pipeline", SCALING_CORPUS],
-            capture_output=True, text=True, check=True,
+             flag, SCALING_CORPUS],
+            capture_output=True, text=True, check=True, env=env,
         )
         line = [ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")][-1]
         out[cores] = json.loads(line)
@@ -199,7 +265,8 @@ def run_scaling(sf_dir: str, n_small: int = 8, n_large: int = 32) -> dict:
     speedup = t_small / t_large
     eff = speedup / (n_large / n_small)
     return {
-        "metric": "scaling_efficiency",
+        "metric": ("scaling_efficiency" if job == "pipeline"
+                   else "scaling_efficiency_curate"),
         "value": round(eff, 3),
         "unit": "ratio",
         "cores_small": n_small,
@@ -340,6 +407,10 @@ def main() -> None:
                     help="run the N vs 4N scaling measurement")
     ap.add_argument("--stress", action="store_true",
                     help="sf1.0 (10x) stress leg + skewed-host AQE join")
+    ap.add_argument("--scaling-curate", action="store_true",
+                    help="shuffle-heavy N->4N leg (chunk dedup + decontam)")
+    ap.add_argument("--corpus-curate", default=None,
+                    help=argparse.SUPPRESS)
     ap.add_argument("--corpus-pipeline", default=None,
                     help="time the full pipeline over a corpus parquet")
     # default N=4 -> 4N=16: the sandbox host carries ~8-13 cores of
@@ -352,6 +423,10 @@ def main() -> None:
     if args.scaling:
         print(json.dumps(run_scaling(args.sf_dir, args.n_small, args.n_large)))
         return
+    if args.scaling_curate:
+        print(json.dumps(run_scaling(
+            args.sf_dir, args.n_small, args.n_large, job="curate")))
+        return
     if args.stress:
         _ensure_sf1(args.sf_dir)
         res = run_bench(str(args.cores), SF1_DIR, SF1_QUERIES)
@@ -362,6 +437,9 @@ def main() -> None:
         return
     if args.corpus_pipeline:
         print(json.dumps(run_corpus_pipeline(str(args.cores), args.corpus_pipeline)))
+        return
+    if args.corpus_curate:
+        print(json.dumps(run_corpus_curate(str(args.cores), args.corpus_curate)))
         return
     names = args.queries.split(",") if args.queries else HEADLINE
     print(json.dumps(run_bench(str(args.cores), args.sf_dir, names)))

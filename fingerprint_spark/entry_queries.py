@@ -2411,3 +2411,38 @@ FROM ex GROUP BY 1
 
 
 ORACLE_QUERIES.update({"outlinks": (q_outlinks, sql_outlinks)})
+
+
+def q_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt gate (functions/urls.robots_disallows/_is_allowed):
+    per doc a deterministic robots body (comments, crawl-delay noise, a
+    second agent group that must NOT leak) and a fetch path are
+    synthesized; the oracle recomputes rule count and the prefix-match
+    verdict algebraically (allowed iff doc_id%5 != doc_id%7)."""
+    from .functions.urls import robots_disallows, robots_is_allowed
+
+    d = F.col("doc_id")
+    robots = F.concat(
+        F.lit("# synthetic\nUser-agent: *\nDisallow: /p"),
+        (d % 7).cast("string"),
+        F.lit("/\nDisallow: /q"), (d % 3).cast("string"),
+        F.lit("\nCrawl-delay: 5\n\nUser-agent: gptbot\nDisallow: /\n"),
+    )
+    path = F.concat(F.lit("/p"), (d % 5).cast("string"), F.lit("/page"))
+    rules = robots_disallows(robots)
+    return _doc(spark, sf_dir).select(
+        "doc_id",
+        F.size(rules).cast("int").alias("n_rules"),
+        robots_is_allowed(path, rules).cast("int").alias("allowed"),
+    )
+
+
+def sql_robots() -> str:
+    return """
+SELECT doc_id, 2::int AS n_rules,
+  (doc_id % 5 <> doc_id % 7)::int AS allowed
+FROM documents
+"""
+
+
+ORACLE_QUERIES.update({"robots": (q_robots, sql_robots)})

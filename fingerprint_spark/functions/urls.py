@@ -159,3 +159,50 @@ def domain_blocklist_filter(
     )
     how = "left_anti" if keep else "left_semi"
     return tagged.join(bl, "__dom", how).drop("__dom")
+
+
+def robots_disallows(robots_txt: Column, agent: str = "*") -> Column:
+    """Array of Disallow path-prefixes for the given user-agent group
+    from a robots.txt body — pure Column expressions (REP subset: group
+    selection by exact agent token, Disallow prefixes; Allow overrides
+    and wildcards are a documented non-goal of this subset).
+
+    Group extraction: split the file on user-agent lines, keep the
+    segment whose header names ``agent``, collect its Disallow values.
+    Empty Disallow ("allow all") and missing groups yield an empty
+    array."""
+    # normalize: strip comments + CRs, lowercase field names
+    body = F.regexp_replace(robots_txt, r"(?m)#.*$", "")
+    body = F.regexp_replace(body, "\r", "")
+    # one segment per user-agent group: prefix a separator before each
+    # user-agent line, then split
+    seg = F.split(
+        F.regexp_replace(body, r"(?mi)^\s*user-agent\s*:", "\x01ua:"),
+        "\x01",
+    )
+    want = f"ua: {agent}".lower()
+    mine = F.filter(
+        seg,
+        lambda s: F.lower(F.trim(F.element_at(F.split(s, "\n"), 1)))
+        == F.lit(want),
+    )
+    # try_element_at: a missing agent group is an EMPTY rule set, not
+    # an ANSI index error
+    group = F.coalesce(F.try_element_at(mine, F.lit(1)), F.lit(""))
+    rules = F.filter(
+        F.transform(
+            F.split(group, "\n"),
+            lambda ln: F.when(
+                F.lower(F.trim(ln)).rlike(r"^disallow\s*:"),
+                F.trim(F.regexp_replace(ln, r"(?i)^\s*disallow\s*:", "")),
+            ),
+        ),
+        lambda p: p.isNotNull() & (p != ""),
+    )
+    return rules
+
+
+def robots_is_allowed(path: Column, disallows: Column) -> Column:
+    """True iff no Disallow prefix matches the path (REP prefix
+    semantics over the subset above)."""
+    return ~F.exists(disallows, lambda p: path.startswith(p))

@@ -175,3 +175,46 @@ def test_compression_ratio_signal(spark):
     assert got[0] == exact(prose) and got[1] == exact(boiler)
     assert got[1] < got[0] < 1.0  # boilerplate compresses far better
     assert got[2] is None and got[3] is None
+
+
+# ---------------------------------------------------------------------------
+# robots.txt subset (REP prefix semantics)
+# ---------------------------------------------------------------------------
+
+ROBOTS = """# crawl policy
+User-agent: *
+Disallow: /private/
+Disallow: /tmp
+Crawl-delay: 5
+
+User-agent: gptbot
+Disallow: /
+"""
+
+
+def test_robots_group_selection_and_prefix_match(spark):
+    from fingerprint_spark.functions.urls import (
+        robots_disallows, robots_is_allowed,
+    )
+
+    row = spark.range(1).select(
+        robots_disallows(F.lit(ROBOTS)).alias("star"),
+        robots_disallows(F.lit(ROBOTS), "gptbot").alias("bot"),
+        robots_disallows(F.lit(ROBOTS), "missing").alias("none"),
+        robots_disallows(F.lit("")).alias("empty"),
+    ).head()
+    assert row["star"] == ["/private/", "/tmp"]
+    assert row["bot"] == ["/"]      # other group must not leak into *
+    assert row["none"] == [] and row["empty"] == []
+
+    df = spark.createDataFrame(
+        [("/private/x",), ("/pub/a",), ("/tmpfile",), ("/",)], "p string"
+    )
+    got = {r["p"]: r["ok"] for r in df.select(
+        "p",
+        robots_is_allowed(F.col("p"),
+                          robots_disallows(F.lit(ROBOTS))).alias("ok"),
+    ).collect()}
+    # REP prefix semantics: /tmp also blocks /tmpfile
+    assert got == {"/private/x": False, "/pub/a": True,
+                   "/tmpfile": False, "/": True}

@@ -843,11 +843,12 @@ def q_infer_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = obs.count()
     sup = _support(obs, F.col("headings"), "candidate")
     # permille from the integer doc count, never the double fraction —
-    # floor(n*1000/total) is exact on both engines
+    # integral `div` (repo contract; floor over double division can
+    # mis-floor at unlucky magnitudes)
     return sup.select(
         "candidate",
         F.col("n").cast("bigint").alias("n_docs"),
-        F.floor(F.col("n") * 1000 / F.lit(total)).cast("bigint").alias(
+        F.expr(f"(n * 1000) div {total}").cast("bigint").alias(
             "support_permille"
         ),
     ).filter(F.col("support_permille") >= 100)
@@ -862,10 +863,10 @@ h AS (
   UNION ALL
   SELECT doc_id, 'Sec ' || (doc_id % 7)::varchar FROM d)
 SELECT candidate, count(DISTINCT doc_id)::bigint AS n_docs,
-       floor(count(DISTINCT doc_id) * 1000 / t.total)::bigint
+       (count(DISTINCT doc_id) * 1000 // t.total)::bigint
          AS support_permille
 FROM h, t GROUP BY candidate, t.total
-HAVING floor(count(DISTINCT doc_id) * 1000 / t.total) >= 100
+HAVING (count(DISTINCT doc_id) * 1000 // t.total) >= 100
 """
 
 

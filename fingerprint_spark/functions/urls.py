@@ -167,28 +167,41 @@ def robots_disallows(robots_txt: Column, agent: str = "*") -> Column:
     selection by exact agent token, Disallow prefixes; Allow overrides
     and wildcards are a documented non-goal of this subset).
 
-    Group extraction: split the file on user-agent lines, keep the
-    segment whose header names ``agent``, collect its Disallow values.
+    Group extraction: split the file on runs of user-agent lines
+    (RFC 9309 §2.1: stacked ``User-agent:`` lines share one rule set),
+    keep every segment whose header run names ``agent`` — the agent
+    token is compared after the colon with surrounding whitespace
+    trimmed, so ``User-agent:*`` / ``User-agent:  *`` / ``user-agent: *``
+    all match — and collect the Disallow values of all matching groups.
     Empty Disallow ("allow all") and missing groups yield an empty
     array."""
-    # normalize: strip comments + CRs, lowercase field names
+    # normalize: strip comments + CRs, canonicalize user-agent lines to
+    # 'ua:<value>' (value whitespace handled at compare time)
     body = F.regexp_replace(robots_txt, r"(?m)#.*$", "")
     body = F.regexp_replace(body, "\r", "")
-    # one segment per user-agent group: prefix a separator before each
-    # user-agent line, then split
+    body = F.regexp_replace(body, r"(?mi)^[ \t]*user-agent[ \t]*:", "ua:")
+    # one separator per GROUP: a maximal run of consecutive ua: lines
+    # starts a group, so the separator goes before the run — a rule set
+    # after stacked agent lines then belongs to every agent in the run
     seg = F.split(
-        F.regexp_replace(body, r"(?mi)^\s*user-agent\s*:", "\x01ua:"),
+        F.regexp_replace(body, r"(?m)((?:^ua:[^\n]*\n?)+)", "\x01$1"),
         "\x01",
     )
-    want = f"ua: {agent}".lower()
+    want = agent.lower()
     mine = F.filter(
         seg,
-        lambda s: F.lower(F.trim(F.element_at(F.split(s, "\n"), 1)))
-        == F.lit(want),
+        lambda s: F.exists(
+            F.split(s, "\n"),
+            lambda ln: F.trim(ln).rlike("(?i)^ua:")
+            & (
+                F.lower(F.trim(F.regexp_replace(F.trim(ln), "(?i)^ua:", "")))
+                == F.lit(want)
+            ),
+        ),
     )
-    # try_element_at: a missing agent group is an EMPTY rule set, not
-    # an ANSI index error
-    group = F.coalesce(F.try_element_at(mine, F.lit(1)), F.lit(""))
+    # RFC 9309 §2.2.1: multiple groups naming the same agent combine;
+    # a missing agent group is an EMPTY rule set
+    group = F.array_join(mine, "\n")
     rules = F.filter(
         F.transform(
             F.split(group, "\n"),

@@ -26,7 +26,6 @@ reference per the round brief's training-pipeline requirement.
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -34,6 +33,37 @@ from pyspark.sql import functions as F
 # leading underscore: Spark data-source listing skips _-prefixed files,
 # so the manifest can live inside the dataset directory
 MANIFEST_NAME = "_MANIFEST.json"
+
+
+def _manifest_path(spark: SparkSession, path: str):
+    """(FileSystem, Path) for the manifest via the Hadoop FS API — the
+    manifest must land on the SAME filesystem as the shard data
+    (hdfs://, s3a://, file://), not the driver's local disk (ADVICE
+    r3: local open() mis-placed it for any non-local output path)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path, MANIFEST_NAME)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, p
+
+
+def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    fs, p = _manifest_path(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_read_text(spark: SparkSession, path: str) -> str:
+    fs, p = _manifest_path(spark, path)
+    stream = fs.open(p)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
 
 
 def _shard_col(key, n_shards: int):
@@ -62,8 +92,7 @@ def write_training_shards(
     manifest = _fold_shards(spark, path, key_col)
     manifest["n_shards"] = n_shards
     manifest["key_col"] = key_col
-    with open(os.path.join(path, MANIFEST_NAME), "w") as f:
-        json.dump(manifest, f, sort_keys=True)
+    _fs_write_text(spark, path, json.dumps(manifest, sort_keys=True))
     return manifest
 
 
@@ -103,8 +132,7 @@ def _fold_shards(spark: SparkSession, path: str, key_col: str) -> dict:
 def verify_shards(spark: SparkSession, path: str) -> dict:
     """Recompute per-shard counts + key folds and diff vs MANIFEST.json.
     Returns {ok, mismatched_shards, missing_shards, extra_shards}."""
-    with open(os.path.join(path, MANIFEST_NAME)) as f:
-        manifest = json.load(f)
+    manifest = json.loads(_fs_read_text(spark, path))
     got = _fold_shards(spark, path, manifest["key_col"])["shards"]
     want = manifest["shards"]
     mismatched = sorted(

@@ -314,7 +314,13 @@ def xls_to_sheets(payload: bytes) -> dict[str, list[list[str]]]:
                 break
             if rid == _R_LABELSST:
                 r, c, _xf, idx = struct.unpack("<HHHI", data[:10])
-                put(r, c, sst[idx] if idx < len(sst) else str(idx))
+                if idx >= len(sst):
+                    # corrupt workbook: surface E_PARSE (ValueError
+                    # contract), never fabricate cell text from the index
+                    raise ValueError(
+                        f"xls: SST index {idx} out of range ({len(sst)})"
+                    )
+                put(r, c, sst[idx])
             elif rid == _R_LABEL:
                 r, c = struct.unpack("<HH", data[:4])
                 cur = _SSTCursor([data[6:]])

@@ -89,32 +89,47 @@ def _session_fn(gap_s: int):
                   "session_end": last, "n_events": n}]
             )
             return
-        start, last, n = state.get if state.exists else (None, None, 0)
-        closed = []
+        # Interval-gap merge: the open state session is injected into
+        # the sorted event stream as one interval, then standard gap
+        # merging runs over all of it. A late-but-inside-watermark event
+        # within gap of the envelope merges (bidirectional extension); a
+        # late event more than gap_s EARLIER than session_start forms
+        # its own session instead of widening it (ADVICE r3 — the old
+        # unconditional start=min(start,es) over-merged that case).
+        items = []
+        if state.exists:
+            s0, l0, n0 = state.get
+            items.append([s0, l0, n0])
         for pdf in batches:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for _, row in pdf.iterrows():
-                es = int(row["ts"].timestamp())
-                if start is None:
-                    start, last, n = es, es, 1
-                elif es - last > gap_s:
-                    # `last` is the RUNNING MAX, so only a genuinely
-                    # later-than-gap event splits; a late (es < last)
-                    # event can never make this branch fire
-                    closed.append(
-                        {"user_id": user, "session_start": start,
-                         "session_end": last, "n_events": n}
-                    )
-                    start, last, n = es, es, 1
-                else:
-                    # merge — handles late-but-inside-watermark events
-                    # from earlier micro-batches: extend the session
-                    # envelope in BOTH directions instead of regressing
-                    # session_end backward (which split later on-time
-                    # events into spurious new sessions)
-                    start = min(start, es)
-                    last = max(last, es)
-                    n += 1
+            for ts in pdf["ts"]:
+                es = int(ts.timestamp())
+                items.append([es, es, 1])
+        closed = []
+        if not items:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start", "session_end",
+                         "n_events"],
+            )
+            return
+        items.sort(key=lambda t: (t[0], t[1]))
+        merged = [items[0][:]]
+        for s, l, n_i in items[1:]:
+            cur = merged[-1]
+            if s - cur[1] <= gap_s:
+                cur[1] = max(cur[1], l)
+                cur[2] += n_i
+            else:
+                merged.append([s, l, n_i])
+        # every session but the latest is separated by > gap from a
+        # later event already seen — closed in-stream (same contract as
+        # the on-time gap split: late data can't reopen it)
+        for s, l, n_i in merged[:-1]:
+            closed.append(
+                {"user_id": user, "session_start": s,
+                 "session_end": l, "n_events": n_i}
+            )
+        start, last, n = merged[-1]
         target_ms = (last + gap_s) * 1000
         if target_ms <= state.getCurrentWatermarkMs():
             # the watermark already passed last + gap: this session is
@@ -147,8 +162,12 @@ def streaming_sessions(
     open session per user; a session closes (and emits) when a larger
     gap arrives in-stream or when the WATERMARK passes last_event + gap
     (EventTimeTimeout — late data beyond the watermark can't reopen a
-    closed session, the standard streaming-session contract). The batch
-    equivalent is operators/sessions.py."""
+    closed session, the standard streaming-session contract). Late
+    events inside the watermark merge into the open session iff within
+    gap of its envelope; a late event more than gap EARLIER than
+    session_start emits as its own (closed) session rather than
+    widening the envelope. The batch equivalent is
+    operators/sessions.py."""
     wm = stream_df.withWatermark(ts_col, watermark)
     return wm.groupBy(user_col).applyInPandasWithState(
         _session_fn(gap_s),

@@ -179,3 +179,35 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
     assert len(got) >= len(want) - 3   # <= one open session per user
     for k, v in got.items():
         assert want[k] == v, (k, v, want.get(k))
+
+
+def test_session_fn_late_event_splits_not_widens():
+    """ADVICE r3: a late event more than gap_s EARLIER than
+    session_start emits as its own closed session; one within gap of
+    the envelope merges bidirectionally."""
+    from fingerprint_spark.streaming.stateful import _session_fn
+
+    class _SessState(_FakeState):
+        def getCurrentWatermarkMs(self):
+            return 0
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_set = ms
+
+    fn = _session_fn(1800)
+    # open session [10000, 10060], n=3; late event at 1000 (> gap early)
+    st = _SessState(value=(10000, 10060, 3))
+    batch = pd.DataFrame({"ts": [pd.Timestamp(1000, unit="s")]})
+    out = pd.concat(list(fn((7,), iter([batch]), st)))
+    assert out.to_dict("records") == [
+        {"user_id": 7, "session_start": 1000, "session_end": 1000,
+         "n_events": 1}
+    ]
+    assert st.get == (10000, 10060, 3)          # envelope NOT widened
+    assert st.timeout_set == (10060 + 1800) * 1000
+    # late event at 9000 (within gap of start): merges, start moves back
+    st2 = _SessState(value=(10000, 10060, 3))
+    batch2 = pd.DataFrame({"ts": [pd.Timestamp(9000, unit="s")]})
+    out2 = pd.concat(list(fn((7,), iter([batch2]), st2)))
+    assert len(out2) == 0
+    assert st2.get == (9000, 10060, 4)

@@ -218,3 +218,30 @@ def test_robots_group_selection_and_prefix_match(spark):
     # REP prefix semantics: /tmp also blocks /tmpfile
     assert got == {"/private/x": False, "/pub/a": True,
                    "/tmpfile": False, "/": True}
+
+
+def test_robots_rfc9309_header_forms(spark):
+    """ADVICE r3: 'User-agent:*' (no space) and 'User-agent:  *' are
+    valid per RFC 9309; stacked agent lines share one rule set; multiple
+    groups naming the same agent combine."""
+    from fingerprint_spark.functions.urls import robots_disallows
+
+    nospace = "User-agent:*\nDisallow: /a\n"
+    multispace = "User-agent:   *\nDisallow: /b\n"
+    stacked = "User-agent: gptbot\nUser-agent: *\nDisallow: /x\n"
+    dup = ("User-agent: *\nDisallow: /one\n\n"
+           "User-agent: other\nDisallow: /no\n\n"
+           "User-agent: *\nDisallow: /two\n")
+    row = spark.range(1).select(
+        robots_disallows(F.lit(nospace)).alias("a"),
+        robots_disallows(F.lit(multispace)).alias("b"),
+        robots_disallows(F.lit(stacked)).alias("c_star"),
+        robots_disallows(F.lit(stacked), "gptbot").alias("c_bot"),
+        robots_disallows(F.lit(dup)).alias("d"),
+    ).head()
+    assert row["a"] == ["/a"]
+    assert row["b"] == ["/b"]
+    # the rule set after the stacked run belongs to BOTH agents
+    assert row["c_star"] == ["/x"] and row["c_bot"] == ["/x"]
+    # same-agent groups combine (RFC 9309 §2.2.1); 'other' doesn't leak
+    assert row["d"] == ["/one", "/two"]

@@ -110,3 +110,16 @@ def test_dispatch_xls_end_to_end(spark):
     assert a["format"] == "xlsx" and a["has"] is True and a["b2"] == "seven"
     b = got["https://x.test/b.xls"]
     assert b["has"] is not True and b["b2"] is None  # null sheets row
+
+
+def test_sst_index_out_of_range_raises():
+    """ADVICE r3: a LABELSST pointing past the SST is a corrupt
+    workbook -> ValueError (E_PARSE path), never str(idx) as cell
+    text."""
+    b = make_xls({"S": [["onlycell"]]})
+    # the single cell is LABELSST (r=0,c=0,xf=15,idx=0); bump idx to 999
+    rec = struct.pack("<HH", 0x00FD, 10) + struct.pack("<HHHI", 0, 0, 15, 0)
+    bad = struct.pack("<HH", 0x00FD, 10) + struct.pack("<HHHI", 0, 0, 15, 999)
+    assert rec in b
+    with pytest.raises(ValueError, match="SST index"):
+        xls_to_sheets(b.replace(rec, bad))

@@ -37,15 +37,17 @@ HEADLINE = [
     "sketches",           # simhash + minhash UDFs
     "embedding_topk",
     "langid",
-    "gopher_flags",
+    "gopher",
     "cell_type_majority",
     "events_hourly",
     "orders_revenue_topn",
     "jaccard_adjacent",
     "extract_hash",       # extraction anchors + content hash (round 2)
     "xlsx_decode",        # xlsx DECODE over pre-materialized bytes
-                          # (round 3; the encode+decode roundtrip row
-                          # xlsx_grid remains in the correctness set)
+                          # (round 3; the encode+decode roundtrip
+                          # q_xlsx_grid is pytest-covered — retired
+                          # from the driver registry in round 4 for
+                          # the ~50-row correctness budget)
     "chunk_dedup",        # CCNet sub-document dedup + reassembly
     "decontam",           # broadcast benchmark n-gram overlap
     "url_curation",       # canonicalize + eTLD+1 + blocklist + dedup
@@ -287,7 +289,7 @@ SF1_DIR = "/tmp/fps_sf1"
 # can't be key-replicated without changing join semantics
 SF1_QUERIES = [
     "html_pipeline", "pipeline_keep", "exact_dedup", "sketches",
-    "embedding_topk", "langid", "gopher_flags", "events_hourly",
+    "embedding_topk", "langid", "gopher", "events_hourly",
     "jaccard_adjacent", "extract_hash", "xlsx_decode",
     "chunk_dedup", "decontam", "url_curation", "pipeline_curate",
     "boilerplate", "neardup_clusters", "pagerank",

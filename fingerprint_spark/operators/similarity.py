@@ -35,13 +35,21 @@ def cosine_topk(
     k: int = 10,
     emb_col: str = "embedding",
     key_col: str = "vec_id",
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Exact brute-force top-k: (key, cosine, rank), deterministic
-    (cosine desc, key asc) tie-break."""
+    (cosine desc, key asc) tie-break. round_dp: round the score to that
+    many decimals BEFORE ranking — the cross-engine determinism
+    contract used by the ann_recall oracle row (an external engine
+    recomputes the same rounded scores, so last-ulp float divergence
+    cannot flip a rank)."""
     q = _as_double_array(query_vec)
+    cos = _cosine(F.col(emb_col), q)
+    if round_dp is not None:
+        cos = F.round(cos, round_dp)
     scored = df.select(
         F.col(key_col).alias("key"),
-        _cosine(F.col(emb_col), q).alias("cosine"),
+        cos.alias("cosine"),
     )
     # TakeOrderedAndProject + k-row rank window (operators/topk.py);
     # key-type-agnostic partition spec — string url keys work under ANSI
@@ -104,13 +112,22 @@ def ivf_assign(
     df: DataFrame,
     centroids: list[list[float]],
     emb_col: str = "embedding",
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (cell) — one narrow
-    pass; write partitioned by cell for probe-time partition pruning."""
+    pass; write partitioned by cell for probe-time partition pruning.
+    Tie rule: equal (rounded) cosine -> LARGER cell index (array_max
+    over struct(cos, cell)); round_dp is the cross-engine determinism
+    contract (see cosine_topk)."""
+
+    def _score(c):
+        cos = _cosine(F.col(emb_col), _as_double_array(c))
+        return F.round(cos, round_dp) if round_dp is not None else cos
+
     scored = F.array(
         *[
             F.struct(
-                _cosine(F.col(emb_col), _as_double_array(c)).alias("cos"),
+                _score(c).alias("cos"),
                 F.lit(i).alias("cell"),
             )
             for i, c in enumerate(centroids)
@@ -135,25 +152,60 @@ def sample_centroids(
     return [[float(x) for x in r["e"]] for r in rows]
 
 
+def sample_centroids_md5(
+    df: DataFrame,
+    n_cells: int,
+    emb_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> list[list[float]]:
+    """Portable-contract centroid sample: the n_cells vectors with the
+    smallest (md5-prefix of the key string, key) — same uniform-sample
+    idea as sample_centroids but recomputable in any engine with md5
+    (the ann_recall oracle recomputes it in DuckDB; xxhash64 is
+    Spark-only)."""
+    rows = (
+        df.select(F.col(key_col).alias("k"), F.col(emb_col).alias("e"))
+        .withColumn(
+            "h",
+            F.expr(
+                "cast(conv(substr(md5(cast(k as string)), 1, 6), 16, 10) "
+                "as bigint)"
+            ),
+        )
+        .orderBy("h", "k")
+        .limit(n_cells)
+        .collect()  # driver-bounded: n_cells rows
+    )
+    return [[float(x) for x in r["e"]] for r in rows]
+
+
 def kmeans_centroids(
     df: DataFrame,
     n_cells: int,
     n_iter: int = 3,
     emb_col: str = "embedding",
     key_col: str = "vec_id",
+    seeds: list[list[float]] | None = None,
+    round_dp: int | None = None,
 ) -> list[list[float]]:
     """Lloyd-refined IVF centroids, fully DataFrame-native.
 
-    Seed = deterministic hash-sample (sample_centroids); each iteration
+    Seed = deterministic hash-sample (sample_centroids), or caller-
+    provided ``seeds`` (the ann_recall oracle row passes an md5-contract
+    sample so DuckDB can recompute the same seed set); each iteration
     is one narrow assignment pass + one aggregation: posexplode the
     embedding to (cell, dim, value) and average per (cell, dim) — the
     shuffle carries (int, int, double) triples, never whole vectors.
     Only the (n_cells x dim) centroid matrix ever reaches the driver.
     Empty cells keep their previous centroid (standard Lloyd handling)."""
-    cents = sample_centroids(df, n_cells, emb_col, key_col)
+    cents = (
+        [list(map(float, s)) for s in seeds]
+        if seeds is not None
+        else sample_centroids(df, n_cells, emb_col, key_col)
+    )
     dim = len(cents[0]) if cents else 0
     for _ in range(n_iter):
-        assigned = ivf_assign(df, cents, emb_col)
+        assigned = ivf_assign(df, cents, emb_col, round_dp=round_dp)
         means = (
             assigned.select(
                 "cell", F.posexplode(F.col(emb_col)).alias("dim", "val")
@@ -182,18 +234,20 @@ def ivf_topk(
     n_probe: int = 2,
     emb_col: str = "embedding",
     key_col: str = "vec_id",
+    round_dp: int | None = None,
 ) -> DataFrame:
-    """Probe the n_probe cells nearest to the query, exact cosine inside."""
+    """Probe the n_probe cells nearest to the query (un-normalized dot,
+    ties -> larger cell), exact cosine inside. round_dp rounds both the
+    probe dots and the candidate cosines (cross-engine contract)."""
+
+    def _dot(c):
+        d = sum(float(a) * b for a, b in zip(c, query_vec))
+        return round(d, round_dp) if round_dp is not None else d
+
     sims = sorted(
-        (
-            (
-                sum(float(a) * b for a, b in zip(c, query_vec)),
-                i,
-            )
-            for i, c in enumerate(centroids)
-        ),
+        ((_dot(c), i) for i, c in enumerate(centroids)),
         reverse=True,
     )
     probe_cells = [i for _s, i in sims[:n_probe]]
     cand = assigned.filter(F.col("cell").isin(probe_cells))
-    return cosine_topk(cand, query_vec, k, emb_col, key_col)
+    return cosine_topk(cand, query_vec, k, emb_col, key_col, round_dp=round_dp)

@@ -86,3 +86,14 @@ def test_rows_only_queries_run(spark):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_xlsx_grid_roundtrip_matches_decode(spark):
+    """q_xlsx_grid (build+decode in one plan) was retired from the
+    driver registry for the 50-row budget; pin it to q_xlsx_decode
+    (same projection over cached bytes, oracle-checked) here."""
+    from fingerprint_spark.entry_queries import q_xlsx_decode, q_xlsx_grid
+
+    a = {tuple(r) for r in q_xlsx_grid(spark, SF_DIR).collect()}
+    b = {tuple(r) for r in q_xlsx_decode(spark, SF_DIR).collect()}
+    assert a == b and len(a) > 0

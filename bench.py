@@ -157,7 +157,8 @@ def run_corpus_pipeline(cores: str, corpus_path: str) -> dict:
     }
 
 
-def run_corpus_curate(cores: str, corpus_path: str) -> dict:
+def run_corpus_curate(cores: str, corpus_path: str,
+                      master: str | None = None) -> dict:
     """The SHUFFLE-HEAVY scaling leg: chunk-dedup + benchmark
     decontamination over the scaling corpus. quality_filter is narrow
     (0 Exchange), so its near-ideal scaling is the easy case; this leg
@@ -175,9 +176,16 @@ def run_corpus_curate(cores: str, corpus_path: str) -> dict:
     # partitions to the core count, which gives the 16-core leg a
     # single 16-task wave whose stragglers dominate; 64 tasks give
     # both legs fine-grained waves (identical work split, fair compare)
+    extra = {}
+    if master and master.startswith("local-cluster"):
+        # local-cluster[n,c,m]: executor memory defaults to 1g
+        # regardless of the worker allowance m — size it to m so the
+        # wide stages get the memory the leg advertises
+        mem_mb = master.rstrip("]").split(",")[-1]
+        extra["spark.executor.memory"] = f"{mem_mb}m"
     spark = get_spark(
         "fingerprint_spark_scaling_curate", cores=cores,
-        shuffle_partitions=64,
+        shuffle_partitions=64, master=master, extra_conf=extra,
     )
     base = spark.read.parquet(corpus_path).select("url", "text")
     # 4x replication with distinct keys: at 120k docs the wide stages
@@ -229,12 +237,19 @@ def _ensure_scaling_corpus() -> None:
 
 
 def run_scaling(sf_dir: str, n_small: int = 8, n_large: int = 32,
-                job: str = "pipeline") -> dict:
+                job: str = "pipeline", multi_jvm: bool = False) -> dict:
     """Same job, same input, local[N] vs local[4N], fresh JVM each.
 
     Input is a deterministic 60k-doc synthetic corpus (materialized once)
     so per-core work dominates fixed overhead — 5k docs finish in ~1s and
-    measure only scheduling, not scaling."""
+    measure only scheduling, not scaling.
+
+    multi_jvm (curate only): run each leg as local-cluster[n,2,m] —
+    n separate executor JVMs x 2 cores, separate GC domains, real
+    shuffle-service path — instead of one local[N] JVM. This is the
+    r3 VERDICT #2 experiment: if the wide path's ~0.5 single-JVM
+    efficiency recovers here, the bottleneck is single-JVM GC/memory
+    bandwidth (which a real cluster doesn't share), not the operator."""
     _ensure_scaling_corpus()
     out = {}
     for cores in (n_small, n_large):
@@ -254,11 +269,16 @@ def run_scaling(sf_dir: str, n_small: int = 8, n_large: int = 32,
             # tmpfs isolates the CPU-scaling question the north rule
             # asks (the narrow-pipeline leg is unaffected: 0 Exchange).
             env["SPARK_LOCAL_DIRS"] = "/dev/shm/fps_shuffle"
+        cmd = ["taskset", "-c", f"0-{cores - 1}",
+               sys.executable, os.path.abspath(__file__), "--cores",
+               str(cores), flag, SCALING_CORPUS]
+        if multi_jvm:
+            # cores/2 executor JVMs x 2 cores x 5 GiB, pinned to the
+            # same CPU budget as the single-JVM leg (children inherit
+            # the taskset affinity)
+            cmd += ["--master", f"local-cluster[{cores // 2},2,5120]"]
         r = subprocess.run(
-            ["taskset", "-c", f"0-{cores - 1}",
-             sys.executable, os.path.abspath(__file__), "--cores", str(cores),
-             flag, SCALING_CORPUS],
-            capture_output=True, text=True, check=True, env=env,
+            cmd, capture_output=True, text=True, check=True, env=env,
         )
         line = [ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")][-1]
         out[cores] = json.loads(line)
@@ -268,6 +288,7 @@ def run_scaling(sf_dir: str, n_small: int = 8, n_large: int = 32,
     eff = speedup / (n_large / n_small)
     return {
         "metric": ("scaling_efficiency" if job == "pipeline"
+                   else "scaling_efficiency_curate_mjvm" if multi_jvm
                    else "scaling_efficiency_curate"),
         "value": round(eff, 3),
         "unit": "ratio",
@@ -411,6 +432,11 @@ def main() -> None:
                     help="sf1.0 (10x) stress leg + skewed-host AQE join")
     ap.add_argument("--scaling-curate", action="store_true",
                     help="shuffle-heavy N->4N leg (chunk dedup + decontam)")
+    ap.add_argument("--scaling-curate-mjvm", action="store_true",
+                    help="shuffle-heavy leg with local-cluster multi-JVM "
+                         "executors (separate GC domains)")
+    ap.add_argument("--master", default=None,
+                    help=argparse.SUPPRESS)
     ap.add_argument("--corpus-curate", default=None,
                     help=argparse.SUPPRESS)
     ap.add_argument("--corpus-pipeline", default=None,
@@ -429,6 +455,11 @@ def main() -> None:
         print(json.dumps(run_scaling(
             args.sf_dir, args.n_small, args.n_large, job="curate")))
         return
+    if args.scaling_curate_mjvm:
+        print(json.dumps(run_scaling(
+            args.sf_dir, args.n_small, args.n_large, job="curate",
+            multi_jvm=True)))
+        return
     if args.stress:
         _ensure_sf1(args.sf_dir)
         res = run_bench(str(args.cores), SF1_DIR, SF1_QUERIES)
@@ -441,7 +472,8 @@ def main() -> None:
         print(json.dumps(run_corpus_pipeline(str(args.cores), args.corpus_pipeline)))
         return
     if args.corpus_curate:
-        print(json.dumps(run_corpus_curate(str(args.cores), args.corpus_curate)))
+        print(json.dumps(run_corpus_curate(
+            str(args.cores), args.corpus_curate, master=args.master)))
         return
     names = args.queries.split(",") if args.queries else HEADLINE
     print(json.dumps(run_bench(str(args.cores), args.sf_dir, names)))

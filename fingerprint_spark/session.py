@@ -17,14 +17,21 @@ def get_spark(
     cores: int | str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession.
 
     cores: int -> local[n]; "*" -> local[*]; None -> $SPARK_GRAFT_CPUS or *.
+    master: explicit master URL override — e.g. ``local-cluster[4,2,6144]``
+    (4 worker JVMs x 2 cores x 6 GiB: separate executor processes with
+    separate GC domains and a real shuffle-service path, the closest a
+    single box gets to a multi-executor cluster). With an override,
+    ``cores`` is only used to size shuffle partitions.
     """
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    master = f"local[{cores}]"
+    if master is None:
+        master = f"local[{cores}]"
     n_cores = os.cpu_count() or 8 if cores == "*" else int(cores)
     if shuffle_partitions is None:
         shuffle_partitions = max(n_cores, 8)

@@ -1,0 +1,125 @@
+"""Snapshot-pinned corpus reads (the input_hint's 'Iceberg table').
+
+The contract under test: a reader that pins snapshot N sees a
+byte-identical corpus no matter what commits land afterwards; commits
+are atomic (no torn manifest, no two writers on one id); witness rows
+carry the snapshot id.
+"""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from fingerprint_spark.snapshots import (
+    commit_snapshot,
+    current_snapshot_id,
+    expire_snapshots,
+    list_snapshots,
+    load_manifest,
+    read_snapshot,
+    witness_read,
+)
+
+
+def _corpus(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit("https://h/"), F.col("id")).alias("url"),
+        F.concat(F.lit("text-"), F.col("id")).alias("text"),
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_commit_read_append_overwrite(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    m1 = commit_snapshot(_corpus(spark, 0, 100), t)
+    assert (m1["snapshot_id"], m1["parent_id"], m1["n_rows"]) == (1, None, 100)
+    m2 = commit_snapshot(_corpus(spark, 100, 150), t, mode="append")
+    assert (m2["snapshot_id"], m2["parent_id"], m2["n_rows"]) == (2, 1, 150)
+    assert set(m1["files"]) < set(m2["files"])
+    m3 = commit_snapshot(_corpus(spark, 500, 510), t, mode="overwrite")
+    assert (m3["snapshot_id"], m3["n_rows"]) == (3, 10)
+    # time travel: every snapshot still reads its own state
+    assert read_snapshot(spark, t, 1).count() == 100
+    assert read_snapshot(spark, t, 2).count() == 150
+    assert read_snapshot(spark, t).count() == 10
+    assert current_snapshot_id(t) == 3
+
+
+def test_pinned_read_is_byte_identical_across_concurrent_commit(
+    spark, tmp_path
+):
+    """The north-rule scenario: a re-validation pass pins snapshot N;
+    a concurrent curate commits N+1 (append AND overwrite) mid-read;
+    the pinned view must not move by a byte."""
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_corpus(spark, 0, 200), t)
+    pinned = read_snapshot(spark, t, 1)
+    before = _rows(pinned)
+    # concurrent writer lands two more snapshots while the reader holds
+    # its pinned frame
+    commit_snapshot(_corpus(spark, 200, 300), t, mode="append")
+    commit_snapshot(_corpus(spark, 900, 905), t, mode="overwrite")
+    after = _rows(pinned)                   # same frame, re-collected
+    reread = _rows(read_snapshot(spark, t, 1))  # fresh pin of N
+    assert before == after == reread
+    assert len(before) == 200
+    # and the unpinned current view sees the overwrite
+    assert read_snapshot(spark, t).count() == 5
+
+
+def test_atomic_publish_single_winner(spark, tmp_path):
+    """Two racing commits must serialize onto distinct snapshot ids
+    with no torn state: simulate the race by pre-publishing the id the
+    second writer would claim."""
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_corpus(spark, 0, 10), t)
+    # racer A publishes v2 out from under racer B
+    commit_snapshot(_corpus(spark, 10, 20), t, mode="append")
+    m = commit_snapshot(_corpus(spark, 20, 30), t, mode="append")
+    # B (this commit) retried onto 3, carrying A's rows forward
+    assert m["snapshot_id"] == 3 and m["n_rows"] == 30
+    assert list_snapshots(t) == [1, 2, 3]
+    for sid in (1, 2, 3):
+        json.dumps(load_manifest(t, sid))  # parses; not torn
+
+
+def test_append_schema_mismatch_refuses(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_corpus(spark, 0, 5), t)
+    bad = spark.range(3).select(F.col("id").alias("other"))
+    import pytest
+
+    with pytest.raises(ValueError, match="schema mismatch"):
+        commit_snapshot(bad, t, mode="append")
+
+
+def test_expire_keeps_pinned_current(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_corpus(spark, 0, 50), t)
+    commit_snapshot(_corpus(spark, 50, 60), t, mode="append")
+    commit_snapshot(_corpus(spark, 100, 110), t, mode="overwrite")
+    expired = expire_snapshots(t, keep_last=1)
+    assert expired == [1, 2]
+    assert list_snapshots(t) == [3]
+    assert read_snapshot(spark, t).count() == 10
+    # the overwrite's files survived; the orphaned v1/v2 files are gone
+    m3 = load_manifest(t, 3)
+    assert all(os.path.exists(f) for f in m3["files"])
+
+
+def test_witness_carries_snapshot_id(spark, tmp_path, monkeypatch):
+    ledger = str(tmp_path / "witness.jsonl")
+    monkeypatch.setenv("FINGERPRINT_SPARK_WITNESS", ledger)
+    t = str(tmp_path / "tbl")
+    m = commit_snapshot(_corpus(spark, 0, 7), t)
+    witness_read(t, m, tool="revalidate")
+    with open(ledger) as f:
+        recs = [json.loads(ln) for ln in f if ln.strip()]
+    assert recs[-1]["tool"] == "revalidate"
+    assert recs[-1]["params"]["snapshot_id"] == 1
+    assert recs[-1]["params"]["n_rows"] == 7
+    assert "files_hash" in recs[-1]["inputs"]

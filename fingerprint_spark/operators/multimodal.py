@@ -199,11 +199,13 @@ AUDIO_FEATURES_DDL = (
 
 def audio_features(df: DataFrame) -> DataFrame:
     """Per-clip audio features: REAL WAV decode (stdlib wave module,
-    sample-accurate rms) or REAL MP3 frame-header walk (media_meta:
-    duration/rate/channels from every frame header; rms honestly null —
-    PCM needs a decoder). Undecodable payloads yield null features
-    (decode failure is a row outcome, not a task failure). Media bytes
-    never shuffle."""
+    sample-accurate rms), REAL FLAC-subset decode (flac_codec.py —
+    bit-exact, CRC+md5-verified, sample-accurate rms), or REAL MP3
+    frame-header walk (media_meta: duration/rate/channels from every
+    frame header; rms honestly null — MP3 PCM needs a codec library).
+    Undecodable payloads yield null features (decode failure is a row
+    outcome, not a task failure). Media bytes never shuffle."""
+    from .flac_codec import decode_flac
     from .media_codecs import decode_wav
     from .media_meta import parse_mp3
 
@@ -217,6 +219,22 @@ def audio_features(df: DataFrame) -> DataFrame:
                     rows.append({"media_id": mid, **{k: f[k] for k in (
                         "sample_rate", "n_channels", "n_frames",
                         "duration_ms", "rms")}})
+                    continue
+                except ValueError:
+                    pass
+                try:
+                    a = decode_flac(raw)
+                    s = a["samples"].astype(np.float64) / 32768.0
+                    rows.append({
+                        "media_id": mid, "sample_rate": a["rate"],
+                        "n_channels": a["channels"],
+                        "n_frames": a["n_samples"],
+                        "duration_ms": int(
+                            a["n_samples"] * 1000 / a["rate"]
+                        ) if a["rate"] else 0,
+                        "rms": float(np.sqrt(np.mean(s * s)))
+                        if s.size else 0.0,
+                    })
                     continue
                 except ValueError:
                     pass

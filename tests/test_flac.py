@@ -1,0 +1,103 @@
+"""FLAC-subset codec (operators/flac_codec.py) — bit-exact tests.
+
+Round-4 VERDICT #5: close the audio tier the way jpeg_codec closed
+images — a lossless stdlib-feasible decoder whose output is PROVEN
+exact (CRC-8/16 + STREAMINFO md5), wired into the media_roundtrip
+oracle row and the audio_features cascade.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fingerprint_spark.operators.flac_codec import (
+    _crc8,
+    _crc16,
+    _read_utf8_coded,
+    _utf8_coded,
+    decode_flac,
+    encode_flac,
+)
+
+
+def _roundtrip(s, **kw):
+    d = decode_flac(encode_flac(s, **kw))
+    want = s if s.ndim == 2 else s[:, None]
+    assert d["samples"].shape == want.shape
+    assert (d["samples"] == want).all()
+    return d
+
+
+def test_roundtrip_shapes_and_paths():
+    rng = np.random.RandomState(7)
+    _roundtrip(np.full(300, -123, dtype=np.int16))            # CONSTANT
+    _roundtrip((np.arange(500) * 13 % 4096 - 2048).astype(np.int16))
+    _roundtrip(rng.randint(-32768, 32767, 777).astype(np.int16))
+    _roundtrip(np.array([5], dtype=np.int16))                  # VERBATIM
+    _roundtrip(np.array([32767, -32768] * 50, dtype=np.int16))  # extremes
+    st = np.stack(
+        [(np.arange(321) * 7 % 1000 - 500), np.full(321, 42)], axis=1
+    ).astype(np.int16)
+    d = _roundtrip(st, rate=44100, blocksize=128)
+    assert d["rate"] == 44100 and d["channels"] == 2
+    assert d["n_samples"] == 321
+
+
+def test_corruption_and_subset_refusals():
+    b = bytearray(encode_flac(
+        (np.arange(500) * 13 % 4096 - 2048).astype(np.int16)
+    ))
+    bad = bytearray(b)
+    bad[-10] ^= 0x01
+    with pytest.raises(ValueError, match="CRC-16"):
+        decode_flac(bytes(bad))
+    with pytest.raises(ValueError, match="magic"):
+        decode_flac(b"not flac at all")
+    with pytest.raises(ValueError, match="truncated|corrupt"):
+        decode_flac(bytes(b[: len(b) // 2]))
+    # md5 tamper: flip a bit in the STREAMINFO md5 field
+    bad2 = bytearray(b)
+    bad2[4 + 4 + 18] ^= 0x01
+    with pytest.raises(ValueError, match="md5"):
+        decode_flac(bytes(bad2))
+
+
+def test_utf8_coded_number_roundtrip():
+    for n in (0, 1, 0x7F, 0x80, 0x7FF, 0x800, 0xFFFF, 0x10000,
+              123456789, (1 << 36) - 1):
+        enc = _utf8_coded(n)
+        got, end = _read_utf8_coded(enc, 0)
+        assert (got, end) == (n, len(enc)), n
+
+
+def test_crc_vectors():
+    # linearity/sanity: CRC of empty is 0; appending the CRC byte(s)
+    # of a message yields remainder 0 (the defining property)
+    assert _crc8(b"") == 0 and _crc16(b"") == 0
+    msg = b"\xff\xf8\x70\x18\x00"
+    assert _crc8(msg + bytes([_crc8(msg)])) == 0
+    c16 = _crc16(msg)
+    assert _crc16(msg + bytes([c16 >> 8, c16 & 0xFF])) == 0
+
+
+def test_audio_features_flac_branch(spark):
+    """audio_features decodes FLAC payloads sample-accurately (rms),
+    WAV still first, garbage still nulls."""
+    from fingerprint_spark.operators.media_codecs import encode_wav
+    from fingerprint_spark.operators.multimodal import audio_features
+
+    sig = (np.sin(np.arange(2000) / 5.0) * 10000).astype(np.int16)
+    flac = encode_flac(sig, rate=8000, blocksize=256)
+    wav = encode_wav(sig, sample_rate=8000)
+    df = spark.createDataFrame(
+        [("f", bytearray(flac)), ("w", bytearray(wav)), ("g", bytearray(b"xx"))],
+        "media_id string, payload binary",
+    )
+    got = {r["media_id"]: r for r in audio_features(df).collect()}
+    want_rms = float(np.sqrt(np.mean((sig / 32768.0) ** 2)))
+    assert got["f"]["sample_rate"] == 8000
+    assert got["f"]["n_frames"] == 2000
+    assert got["f"]["rms"] == pytest.approx(want_rms, abs=1e-12)
+    # FLAC rms must equal WAV rms exactly at the sample level
+    assert got["f"]["rms"] == pytest.approx(got["w"]["rms"], abs=1e-12)
+    assert got["g"]["sample_rate"] is None and got["g"]["rms"] is None

@@ -355,6 +355,51 @@ def _ensure_sf1(sf_dir: str) -> None:
         f.write("ok\n")
 
 
+def run_decontam13(cores: str) -> dict:
+    """Production-shape decontamination leg (r3 VERDICT #6): n=13 over
+    the 120k-doc scaling corpus, both join strategies timed — the
+    broadcast fast path and the shuffle hash-key fallback the size
+    guard switches to when a benchmark suite outgrows executor memory.
+    Also reports what the guard AUTO-picks for this benchmark size."""
+    from pyspark.sql import functions as F
+
+    from fingerprint_spark.operators.curation import (
+        _decontam_strategy, decontaminate,
+    )
+    from fingerprint_spark.session import get_spark
+
+    _ensure_scaling_corpus()
+    spark = get_spark("fingerprint_spark_decontam13", cores=cores)
+    df = spark.read.parquet(SCALING_CORPUS).select("url", "text")
+    n_docs = df.count()
+    bench = df.filter(F.xxhash64("url") % 101 == 7)
+    bench_chars = int(bench.agg(F.sum(F.length("text"))).head()[0] or 0)
+    out = {
+        "metric": "decontam_n13",
+        "unit": "sec",
+        "n_docs": n_docs,
+        "bench_docs": bench.count(),
+        "bench_chars": bench_chars,
+        "auto_strategy": _decontam_strategy(13, bench_chars, 64 << 20),
+        "cores": cores,
+    }
+    for strat in ("broadcast", "shuffle"):
+        best = float("inf")
+        for i in range(3):  # run0 = warm-up; min-of-2
+            t0 = time.perf_counter()
+            _materialize(decontaminate(
+                df, bench, text_col="text", key_col="url", n=13,
+                strategy=strat,
+            ))
+            dt = time.perf_counter() - t0
+            if i > 0:
+                best = min(best, dt)
+        out[f"sec_{strat}"] = round(best, 3)
+    out["value"] = out["sec_" + out["auto_strategy"]]
+    spark.stop()
+    return out
+
+
 def run_skew_join(n_docs: int = SCALING_DOCS) -> dict:
     """Deliberately skewed-host join at stress size: ~25% of the corpus
     shares one host (corpus.py HOSTS[0]); join docs to a per-host rule
@@ -437,6 +482,8 @@ def main() -> None:
                          "executors (separate GC domains)")
     ap.add_argument("--master", default=None,
                     help=argparse.SUPPRESS)
+    ap.add_argument("--decontam13", action="store_true",
+                    help="n=13 decontamination leg, both join strategies")
     ap.add_argument("--corpus-curate", default=None,
                     help=argparse.SUPPRESS)
     ap.add_argument("--corpus-pipeline", default=None,
@@ -467,6 +514,9 @@ def main() -> None:
         res["sf"] = 1.0
         res["skew_join"] = run_skew_join()
         print(json.dumps(res))
+        return
+    if args.decontam13:
+        print(json.dumps(run_decontam13(str(args.cores))))
         return
     if args.corpus_pipeline:
         print(json.dumps(run_corpus_pipeline(str(args.cores), args.corpus_pipeline)))

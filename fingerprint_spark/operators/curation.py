@@ -212,23 +212,57 @@ def word_ngrams(text_col: Column, n: int) -> Column:
     return _ngrams_from_words(_words(text_col), n)
 
 
+def _decontam_strategy(
+    n: int, bench_total_chars: int, max_broadcast_bytes: int
+) -> str:
+    """Guarded broadcast decision (r3 VERDICT #6): every benchmark word
+    appears in up to n n-grams, so the distinct gram set is bounded by
+    ~n * benchmark_chars JVM chars (~2 bytes each) — a cheap upper
+    bound needing only sum(length(text)), no explode. Over the cap the
+    join falls back to a shuffle semi-join on 8-byte gram hashes."""
+    return (
+        "broadcast"
+        if 2 * n * bench_total_chars <= max_broadcast_bytes
+        else "shuffle"
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,
     text_col: str = "text",
     key_col: str = "doc_id",
     n: int = 13,
+    max_broadcast_bytes: int = 64 << 20,
+    strategy: str | None = None,
 ) -> DataFrame:
     """Flag corpus documents sharing any word n-gram with the benchmark
     set. Returns one row per corpus document:
     (key, n_hits, contaminated) where n_hits counts DISTINCT shared
     n-grams (so a repeated hit doesn't inflate the signal).
 
-    The benchmark n-gram set is distinct-ed and broadcast — eval
-    benchmarks are tiny next to a training corpus, so the corpus side
-    never shuffles; the join is map-side against the broadcast table.
+    Strategy (auto unless forced): 'broadcast' distinct-s and
+    broadcasts the benchmark gram set — eval benchmarks are tiny next
+    to a training corpus, so the corpus side never shuffles and the
+    match is exact on gram strings. A large benchmark suite at
+    production n=13 can exceed executor memory, so when the estimated
+    gram set passes max_broadcast_bytes (see _decontam_strategy) the
+    join becomes a SHUFFLE left join on xxhash64(gram) — 8-byte keys
+    cross the wire instead of gram strings (~n*words bytes/doc), at
+    the cost of a 2^-64 per-pair false-positive rate (documented
+    contract of the fallback; the broadcast path stays exact).
     """
     key = F.col(key_col)
+    if strategy is None:
+        total_chars = int(
+            benchmark.agg(
+                F.sum(F.length(F.col(text_col)))
+            ).head()[0]
+            or 0
+        )  # driver-bounded: single aggregate row over the (small) benchmark
+        strategy = _decontam_strategy(n, total_chars, max_broadcast_bytes)
+    if strategy not in ("broadcast", "shuffle"):
+        raise ValueError(f"unknown decontaminate strategy {strategy!r}")
     bench_grams = benchmark.select(
         _words(F.col(text_col)).alias("__ws")
     ).select(
@@ -251,8 +285,21 @@ def decontaminate(
             F.array_distinct(_ngrams_from_words(F.col("__ws"), n))
         ).alias("__g"),
     )
+    if strategy == "shuffle":
+        # 8-byte hash join keys; the explode_outer null-gram row must
+        # STAY null (xxhash64(NULL) is the seed constant, not null —
+        # it would probe the join instead of passing through)
+        gh = F.when(F.col("__g").isNotNull(), F.xxhash64("__g"))
+        bench_side = bench_grams.select(
+            F.xxhash64("__g").alias("__gh")
+        ).distinct().withColumn("__hit", F.lit(1))
+        joined = corpus_grams.select(
+            "__key", gh.alias("__gh")
+        ).join(bench_side, "__gh", "left")
+    else:
+        joined = corpus_grams.join(F.broadcast(bench_grams), "__g", "left")
     hits = (
-        corpus_grams.join(F.broadcast(bench_grams), "__g", "left")
+        joined
         .groupBy("__key")
         .agg(
             F.sum(

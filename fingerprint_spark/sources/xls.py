@@ -11,8 +11,12 @@ from the public specs:
 - BIFF8 (MS-XLS): workbook-globals substream (BOUNDSHEET sheet
   directory, SST shared strings incl. CONTINUE-record splits) and
   per-sheet substreams (LABELSST / LABEL / NUMBER / RK / MULRK /
-  BOOLERR cells). BIFF5 and encrypted workbooks are refused with a
-  clear ValueError (the E_PARSE skip path).
+  BOOLERR cells).
+- BIFF5 (the 'Book' stream calamine also accepts): minimal read —
+  ANSI BOUNDSHEET names + inline LABEL byte strings (decoded latin-1;
+  CODEPAGE not honored — documented subset limit), numeric records
+  shared with BIFF8. Encrypted workbooks are refused with a clear
+  ValueError (the E_PARSE skip path).
 
 Output shape = the engine's grid model (dict[sheet] -> dense row-major
 grid of strings), identical to xlsx.py / csv — the whole spreadsheet
@@ -258,14 +262,21 @@ def _num_text(v: float) -> str:
 
 
 def xls_to_sheets(payload: bytes) -> dict[str, list[list[str]]]:
-    """Legacy .xls bytes -> {sheet_name: dense grid of strings}. Raises
-    ValueError on non-CFB / BIFF5 / encrypted input (E_PARSE path)."""
+    """Legacy .xls bytes -> {sheet_name: dense grid of strings}. BIFF8
+    ('Workbook' stream, unicode SST) and minimal BIFF5 ('Book' stream:
+    inline LABEL byte strings decoded latin-1 — the CODEPAGE record is
+    not honored, a documented subset limit — plus the shared NUMBER/RK/
+    MULRK/BOOLERR handlers; calamine reads BIFF5 too,
+    src/document/xlsx.rs:12-21). Raises ValueError on non-CFB /
+    encrypted input (E_PARSE path)."""
     streams = cfb_streams(payload)
     wb = streams.get("Workbook")
+    biff5 = False
     if wb is None:
-        if "Book" in streams:
-            raise ValueError("BIFF5 .xls not supported (BIFF8 'Workbook' only)")
-        raise ValueError("not an xls (no Workbook stream)")
+        wb = streams.get("Book")
+        if wb is None:
+            raise ValueError("not an xls (no Workbook stream)")
+        biff5 = True
 
     # workbook-globals pass: sheet directory + shared strings
     bounds: list[tuple[int, str]] = []
@@ -291,7 +302,13 @@ def xls_to_sheets(payload: bytes) -> dict[str, list[list[str]]]:
             raise ValueError("encrypted .xls not supported")
         elif rid == _R_BOUNDSHEET:
             pos = struct.unpack("<I", data[0:4])[0]
-            bounds.append((pos, _short_string(data, 6)))
+            if biff5:
+                # BIFF5 name: cch(1) + ANSI bytes (no unicode flag)
+                cch = data[6]
+                name5 = data[7 : 7 + cch].decode("latin-1", "replace")
+                bounds.append((pos, name5))
+            else:
+                bounds.append((pos, _short_string(data, 6)))
         elif rid == _R_SST:
             sst_chunks = [data[4:]]  # skip cstTotal; keep cstUnique+strings
             # cstUnique lives at data[4:8] — kept inside the cursor
@@ -323,8 +340,13 @@ def xls_to_sheets(payload: bytes) -> dict[str, list[list[str]]]:
                 put(r, c, sst[idx])
             elif rid == _R_LABEL:
                 r, c = struct.unpack("<HH", data[:4])
-                cur = _SSTCursor([data[6:]])
-                put(r, c, cur.read_string())
+                if biff5:
+                    # BIFF5 inline string: cch(2) + ANSI bytes
+                    (cch,) = struct.unpack("<H", data[6:8])
+                    put(r, c, data[8 : 8 + cch].decode("latin-1", "replace"))
+                else:
+                    cur = _SSTCursor([data[6:]])
+                    put(r, c, cur.read_string())
             elif rid == _R_NUMBER:
                 r, c, _xf = struct.unpack("<HHH", data[:6])
                 (v,) = struct.unpack("<d", data[6:14])
@@ -456,6 +478,63 @@ def _biff_workbook(sheets: dict[str, list[list[str]]]) -> bytes:
     return bytes(out)
 
 
+def _biff_workbook5(sheets: dict[str, list[list[str]]]) -> bytes:
+    """Minimal BIFF5 Book stream: globals (ANSI BOUNDSHEETs, no SST)
+    then one substream per sheet with inline LABEL / NUMBER cells."""
+    sheet_cells = []
+    for grid in sheets.values():
+        recs = bytearray()
+        for r, row in enumerate(grid):
+            for c, v in enumerate(row):
+                if v == "":
+                    continue
+                try:
+                    num = float(v)
+                    is_num = v.strip() == v and v != ""
+                except ValueError:
+                    num, is_num = 0.0, False
+                if is_num:
+                    recs += _biff_rec(
+                        _R_NUMBER, struct.pack("<HHHd", r, c, 15, num)
+                    )
+                else:
+                    raw = v.encode("latin-1", "replace")
+                    recs += _biff_rec(
+                        _R_LABEL,
+                        struct.pack("<HHHH", r, c, 15, len(raw)) + raw,
+                    )
+        sheet_cells.append(bytes(recs))
+
+    bof_globals = _biff_rec(
+        _R_BOF, struct.pack("<HHHH", 0x0500, 0x0005, 0x0DBB, 0x07CC)
+    )
+    bof_sheet = struct.pack("<HHHH", 0x0500, 0x0010, 0x0DBB, 0x07CC)
+    eof = _biff_rec(_R_EOF, b"")
+
+    names = list(sheets)
+    bs_recs_len = sum(
+        4 + 4 + 2 + 1 + len(n.encode("latin-1", "replace")) for n in names
+    )
+    globals_len = len(bof_globals) + bs_recs_len + len(eof)
+    positions = []
+    pos = globals_len
+    for cells in sheet_cells:
+        positions.append(pos)
+        pos += len(_biff_rec(_R_BOF, bof_sheet)) + len(cells) + len(eof)
+
+    out = bytearray(bof_globals)
+    for n, p in zip(names, positions):
+        nm = n.encode("latin-1", "replace")
+        out += _biff_rec(
+            _R_BOUNDSHEET,
+            struct.pack("<IHB", p, 0, len(nm)) + nm,
+        )
+    out += eof
+    for cells in sheet_cells:
+        out += _biff_rec(_R_BOF, bof_sheet) + cells + eof
+    return bytes(out)
+
+
 def _dir_entry(name: str, otype: int, start: int, size: int,
                child: int = _FREESECT) -> bytes:
     raw = name.encode("utf-16le") + b"\x00\x00"
@@ -470,11 +549,14 @@ def _dir_entry(name: str, otype: int, start: int, size: int,
     return bytes(e)
 
 
-def make_xls(sheets: dict[str, list[list[str]]]) -> bytes:
-    """{name: grid} -> REAL .xls bytes: BIFF8 inside a v3 CFB container
-    (ministream when the Workbook stream is under the 4096 cutoff — the
-    layout real small .xls files use)."""
-    stream = _biff_workbook(sheets)
+def make_xls(
+    sheets: dict[str, list[list[str]]], biff5: bool = False
+) -> bytes:
+    """{name: grid} -> REAL .xls bytes: BIFF8 (or, with biff5=True,
+    BIFF5 with inline ANSI LABELs in a 'Book' stream) inside a v3 CFB
+    container (ministream when the workbook stream is under the 4096
+    cutoff — the layout real small .xls files use)."""
+    stream = _biff_workbook5(sheets) if biff5 else _biff_workbook(sheets)
     use_mini = len(stream) < 4096
 
     sectors: list[bytes] = []
@@ -519,7 +601,7 @@ def make_xls(sheets: dict[str, list[list[str]]]) -> bytes:
 
     directory = (
         _dir_entry("Root Entry", 5, root_start, root_size, child=1)
-        + _dir_entry("Workbook", 2, wb_start, wb_dirsize)
+        + _dir_entry("Book" if biff5 else "Workbook", 2, wb_start, wb_dirsize)
         + b"\x00" * 256
     )
     dir_first, _ = add(pad512(directory))

@@ -386,3 +386,68 @@ def test_graph_and_sink_on_empty(spark, tmp_path):
     )
     assert m["total_rows"] == 0
     assert verify_shards(spark, out)["ok"]
+
+
+# ---------------------------------------------------------------------------
+# decontaminate broadcast-size guard (r3 VERDICT #6)
+# ---------------------------------------------------------------------------
+
+
+def test_decontam_strategy_threshold_both_sides():
+    from fingerprint_spark.operators.curation import _decontam_strategy
+
+    # bound = 2 * n * chars; n=13, 1 MiB cap
+    cap = 1 << 20
+    under = (cap // (2 * 13))          # exactly at the cap -> broadcast
+    assert _decontam_strategy(13, under, cap) == "broadcast"
+    assert _decontam_strategy(13, under + 1, cap) == "shuffle"
+    assert _decontam_strategy(13, 0, cap) == "broadcast"
+
+
+def test_decontaminate_shuffle_fallback_matches_broadcast(spark):
+    corpus = _docs(
+        spark,
+        [
+            (0, "the quick brown fox jumps"),
+            (1, "totally unrelated words here"),
+            (2, "quick brown fox quick brown fox pad"),
+            (3, ""),
+        ],
+    )
+    bench = _docs(spark, [(100, "the quick brown fox")])
+    a = sorted(
+        tuple(r)
+        for r in decontaminate(
+            corpus, bench, n=3, strategy="broadcast"
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in decontaminate(
+            corpus, bench, n=3, strategy="shuffle"
+        ).collect()
+    )
+    assert a == b and len(a) == 4
+    # auto mode picks shuffle under a tiny cap and still agrees
+    c = sorted(
+        tuple(r)
+        for r in decontaminate(
+            corpus, bench, n=3, max_broadcast_bytes=1
+        ).collect()
+    )
+    assert c == a
+    # and the tiny-cap plan really is the hash-key shuffle (no
+    # broadcast of the gram table)
+    plan = (
+        decontaminate(corpus, bench, n=3, strategy="shuffle")
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "xxhash64" in plan, plan
+
+
+def test_decontaminate_bad_strategy_refused(spark):
+    import pytest as _pytest
+
+    corpus = _docs(spark, [(0, "a b c")])
+    with _pytest.raises(ValueError, match="strategy"):
+        decontaminate(corpus, corpus, n=3, strategy="nope")

@@ -369,11 +369,15 @@ def _curate_mode(argv: list[str]) -> int:
             opts[a[2:].replace("-", "_")] = next(it, "")
         else:
             paths.append(a)
-    if not paths or "output" not in opts:
-        print("usage: curate <corpus.parquet> --output DIR "
+    if not paths or ("output" not in opts and "snapshot_output" not in opts):
+        print("usage: curate <corpus.parquet|snapshot-table-dir> "
+              "--output DIR "
               "[--chunk-words N] [--max-docs N] [--benchmark PARQUET] "
               "[--decontam-n N] [--text-col text] [--key-col url] "
-              "[--shards N  (audited hash-sharded output + _MANIFEST)]",
+              "[--shards N  (audited hash-sharded output + _MANIFEST)] "
+              "[--input-snapshot N|current  (pinned Iceberg-style read)] "
+              "[--snapshot-output TABLE_DIR [--snapshot-mode "
+              "append|overwrite]  (atomic snapshot commit)]",
               file=sys.stderr)
         return 2
     from pyspark.sql import Observation, SparkSession
@@ -394,7 +398,21 @@ def _curate_mode(argv: list[str]) -> int:
     text_col = opts.get("text_col", "text")
     key_col = opts.get("key_col", "url")
     chunk_words = int(opts.get("chunk_words", "12"))
-    df = spark.read.parquet(paths[0])
+    if "input_snapshot" in opts:
+        # pinned Iceberg-style read: the curate pass sees snapshot N
+        # byte-stably even while another writer commits N+1; the
+        # witness row records which corpus state this run consumed
+        from fingerprint_spark.snapshots import (
+            load_manifest, read_snapshot, witness_read,
+        )
+
+        sval = opts["input_snapshot"]
+        sid = None if sval in ("", "current") else int(sval)
+        manifest = load_manifest(paths[0], sid)
+        df = read_snapshot(spark, paths[0], manifest["snapshot_id"])
+        witness_read(paths[0], manifest, tool="curate")
+    else:
+        df = spark.read.parquet(paths[0])
     quality = quality_filter_text(df, text_col=text_col, url_col=key_col)
     base = quality.select(
         key_col,
@@ -447,6 +465,21 @@ def _curate_mode(argv: list[str]) -> int:
         F.sum("n_kept").alias("chunks_kept"),
         F.sum("final_keep").alias("final_keep"),
     )
+    if "snapshot_output" in opts:
+        # atomic snapshot commit: the verdicts become snapshot N+1 of
+        # an Iceberg-style table; concurrent pinned readers of N are
+        # untouched (the counters ride the commit's write action)
+        from fingerprint_spark.snapshots import commit_snapshot
+
+        manifest = commit_snapshot(
+            out, opts["snapshot_output"],
+            mode=opts.get("snapshot_mode", "overwrite"),
+        )
+        print(json.dumps({"metric": "curate", **obs.get,
+                          "output": opts["snapshot_output"],
+                          "snapshot_id": manifest["snapshot_id"],
+                          "parent_id": manifest["parent_id"]}))
+        return 0
     out.write.mode("overwrite").parquet(opts["output"])
     print(json.dumps({"metric": "curate", **obs.get,
                       "output": opts["output"]}))

@@ -123,3 +123,53 @@ def test_witness_carries_snapshot_id(spark, tmp_path, monkeypatch):
     assert recs[-1]["params"]["snapshot_id"] == 1
     assert recs[-1]["params"]["n_rows"] == 7
     assert "files_hash" in recs[-1]["inputs"]
+
+
+def test_curate_cli_snapshot_pinned_in_and_committed_out(
+    spark, tmp_path, monkeypatch, capsys
+):
+    """spark-submit surface: `curate <table> --input-snapshot N
+    --snapshot-output <table2>` reads a PINNED corpus state, commits
+    verdicts as an atomic snapshot, and leaves a witness row naming the
+    snapshot it consumed (in-process here; the spark-submit machinery
+    itself is proven by test_spark_submit)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "run_pipeline_mod",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "run_pipeline.py"),
+    )
+    rp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rp)
+
+    ledger = str(tmp_path / "witness.jsonl")
+    monkeypatch.setenv("FINGERPRINT_SPARK_WITNESS", ledger)
+    corpus_tbl = str(tmp_path / "corpus_tbl")
+    out_tbl = str(tmp_path / "verdict_tbl")
+    docs = spark.range(40).select(
+        F.concat(F.lit("https://h/"), F.col("id")).alias("url"),
+        F.concat(
+            F.lit("some words repeated words for doc "), F.col("id")
+        ).alias("text"),
+    )
+    commit_snapshot(docs, corpus_tbl)
+    rc = rp._curate_mode([
+        "curate", corpus_tbl,
+        "--input-snapshot", "1",
+        "--snapshot-output", out_tbl,
+        "--chunk-words", "3",
+    ])
+    assert rc == 0
+    line = [ln for ln in capsys.readouterr().out.splitlines()
+            if ln.startswith("{")][-1]
+    rec = json.loads(line)
+    assert rec["snapshot_id"] == 1 and rec["docs"] == 40
+    got = read_snapshot(spark, out_tbl, 1)
+    assert got.count() == 40 and "final_keep" in got.columns
+    with open(ledger) as f:
+        wrows = [json.loads(ln) for ln in f if ln.strip()]
+    assert any(
+        w["tool"] == "curate" and w["params"]["snapshot_id"] == 1
+        for w in wrows
+    )

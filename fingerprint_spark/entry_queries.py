@@ -475,20 +475,81 @@ SELECT vec_id::bigint AS vec_id, rank::bigint AS rank FROM ranked WHERE rank <= 
 
 
 def q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash + MinHash sketches per doc (near-dup identity; one fused
-    pandas UDF: a single shingle-hash pass feeds both sketches — no SQL
-    oracle, driver records rows-only)."""
-    from .functions.hashing import sketches_col
+    """SimHash + MinHash sketches per doc (near-dup identity), ORACLE-
+    CHECKED via the portable md5-gram contract (functions/hashing.py:
+    sketch_md5_py — hash_i(s) = md5('<i>:'+shingle) prefix; simhash16
+    bit = sign of the distinct-shingle bit sum). Emitted TWICE: from
+    pure Columns and from the Arrow-batched pandas UDF, so the UDF
+    operator itself is under the hard signal (the round-4 winnow
+    pattern applied to sketches; the fused xxhash-style sketches_col
+    stays the 100 TB hot path, pytest + plan-checked)."""
+    from .functions.hashing import (
+        sketch_md5_udf_col,
+        sketch_minhash_col,
+        sketch_shingles_col,
+        sketch_sim_hashes_col,
+        sketch_simhash16_from_hashes,
+    )
 
-    df = _doc(spark, sf_dir).withColumn(
-        "sk", sketches_col(F.col("text"), num_hashes=16)
+    df = _doc(spark, sf_dir).select("doc_id", "text")
+    # each stage projected separately (lambda-CSE rule)
+    df = df.select(
+        "doc_id", "text", sketch_shingles_col("text", k=3).alias("sh")
+    )
+    df = df.select(
+        "doc_id",
+        "sh",
+        sketch_sim_hashes_col("sh").alias("hs"),
+        sketch_md5_udf_col(F.col("text"), num_hashes=16, k=3).alias("u"),
     )
     return df.select(
         "doc_id",
-        F.col("sk.simhash").alias("simhash"),
-        F.try_element_at(F.col("sk.minhash"), F.lit(1)).alias("minhash_0"),
-        F.try_element_at(F.col("sk.minhash"), F.lit(16)).alias("minhash_15"),
+        sketch_simhash16_from_hashes("hs").alias("simhash16"),
+        sketch_minhash_col("sh", 0).alias("minhash_0"),
+        sketch_minhash_col("sh", 7).alias("minhash_7"),
+        sketch_minhash_col("sh", 15).alias("minhash_15"),
+        F.col("u.simhash16").alias("simhash16_u"),
+        F.try_element_at(F.col("u.minhash"), F.lit(1)).alias("minhash_0_u"),
+        F.try_element_at(F.col("u.minhash"), F.lit(8)).alias("minhash_7_u"),
+        F.try_element_at(F.col("u.minhash"), F.lit(16)).alias("minhash_15_u"),
     )
+
+
+def sql_sketches() -> str:
+    def h(seed: str, s: str) -> str:
+        return f"('0x' || substr(md5('{seed}:' || {s}), 1, 15))::bigint"
+
+    sim_terms = " + ".join(
+        f"(CASE WHEN list_sum([((x >> {b}) & 1) * 2 - 1 FOR x IN hs]) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(16)
+    )
+    mh = {
+        i: f"list_min([{h(str(i), 's')} FOR s IN sh])" for i in (0, 7, 15)
+    }
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                w -> w <> '') AS ws
+  FROM documents
+), shingled AS (
+  SELECT doc_id, CASE WHEN len(ws) >= 3 THEN
+      [array_to_string(ws[i : i + 2], ' ') FOR i IN range(1, len(ws) - 1)]
+    ELSE [array_to_string(ws, ' ')] END AS sh
+  FROM base
+), hashed AS (
+  SELECT doc_id, sh,
+    [{h('sim', 's')} FOR s IN list_distinct(sh)] AS hs
+  FROM shingled
+)
+SELECT doc_id,
+  ({sim_terms})::bigint AS simhash16,
+  {mh[0]} AS minhash_0, {mh[7]} AS minhash_7, {mh[15]} AS minhash_15,
+  ({sim_terms})::bigint AS simhash16_u,
+  {mh[0]} AS minhash_0_u, {mh[7]} AS minhash_7_u, {mh[15]} AS minhash_15_u
+FROM hashed
+"""
 
 
 def q_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -631,8 +692,12 @@ GROUP BY doc_id
 ORACLE_QUERIES.update({"winnow": (q_winnow, sql_winnow)})
 
 
+ORACLE_QUERIES.update({"sketches": (q_sketches, sql_sketches)})
+
+
+# html_pipeline is the one genuinely non-SQL-expressible query left
+# (full parse-UDF chain incl. broadcast n-gram perplexity model)
 ROWS_ONLY_QUERIES = {
-    "sketches": q_sketches,
     "html_pipeline": q_html_pipeline,
 }
 

@@ -448,6 +448,121 @@ def winnow_minima_md5_udf_col(
     return _winnow_minima_udf(k, window)(text)
 
 
+def sketch_md5_py(
+    text: str, num_hashes: int = 16, k: int = 3
+) -> tuple[int, list[int]]:
+    """Portable (md5-contract) SimHash16 + MinHash over word k-shingles
+    — same role as the fused xxhash-style ``sketches_col`` (the 100 TB
+    hot path) but recomputable in any engine with md5, so the sketch
+    operator sits under the driver's hard oracle signal (the winnow
+    pattern applied to near-dup identity). Contract: words =
+    whitespace-split lowercased text; shingles = k-word grams (the
+    whole text as one shingle when shorter); hash_i(s) = first 15 hex
+    digits of md5('<i>:' + s); minhash_i = min over shingles;
+    simhash16 bit b set iff sum over DISTINCT shingles of
+    (bit_b(hash_sim(s)) ? +1 : -1) > 0 with hash_sim seeded 'sim'."""
+    words = (text or "").lower().split()
+    if len(words) >= k:
+        shingles = [
+            " ".join(words[i : i + k]) for i in range(len(words) - k + 1)
+        ]
+    else:
+        shingles = [" ".join(words)]
+
+    def h(seed, s: str) -> int:
+        return int(
+            hashlib.md5(f"{seed}:{s}".encode("utf-8")).hexdigest()[:15], 16
+        )
+
+    minhash = [min(h(i, s) for s in shingles) for i in range(num_hashes)]
+    sim_hashes = [h("sim", s) for s in set(shingles)]
+    sim = 0
+    for b in range(16):
+        t = sum(1 if (x >> b) & 1 else -1 for x in sim_hashes)
+        if t > 0:
+            sim |= 1 << b
+    return sim, minhash
+
+
+@lru_cache(maxsize=2)
+def _sketch_md5_udf(num_hashes: int, k: int):
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("simhash16", T.LongType()),
+                T.StructField("minhash", T.ArrayType(T.LongType())),
+            ]
+        )
+    )
+    def udf(texts: pd.Series) -> pd.DataFrame:
+        rows = [sketch_md5_py(t, num_hashes, k) for t in texts]
+        return pd.DataFrame(
+            {"simhash16": [r[0] for r in rows],
+             "minhash": [r[1] for r in rows]}
+        )
+
+    return udf
+
+
+def sketch_md5_udf_col(
+    text: Column, num_hashes: int = 16, k: int = 3
+) -> Column:
+    """Arrow-batched UDF path of the portable sketch contract."""
+    return _sketch_md5_udf(num_hashes, k)(text)
+
+
+def sketch_shingles_col(col_name: str, k: int = 3) -> Column:
+    """Word k-shingles from an ALREADY-PROJECTED text column (by NAME;
+    lambda-CSE rule): array<string>, whole-text single shingle when
+    shorter than k words."""
+    ws = (
+        f"filter(split(trim(lower({col_name})), '\\\\s+'), w -> w != '')"
+    )
+    return F.expr(
+        f"CASE WHEN size({ws}) >= {k} THEN "
+        f"transform(sequence(1, size({ws}) - {k - 1}), "
+        f"i -> array_join(slice({ws}, i, {k}), ' ')) "
+        f"ELSE array(array_join({ws}, ' ')) END"
+    )
+
+
+def _md5_hash_sql(seed: str, s: str) -> str:
+    return (
+        f"cast(conv(substr(md5(concat('{seed}:', {s})), 1, 15), 16, 10) "
+        f"as bigint)"
+    )
+
+
+def sketch_minhash_col(shingles_col: str, seed: int) -> Column:
+    """min over shingles of the seeded md5 hash (by NAME)."""
+    return F.expr(
+        f"array_min(transform({shingles_col}, "
+        f"s -> {_md5_hash_sql(str(seed), 's')}))"
+    )
+
+
+def sketch_sim_hashes_col(shingles_col: str) -> Column:
+    """'sim'-seeded hashes of the DISTINCT shingles (by NAME) —
+    project this ONCE before sketch_simhash16_from_hashes (the 16
+    per-bit folds below would otherwise each recompute every md5)."""
+    return F.expr(
+        f"transform(array_distinct({shingles_col}), "
+        f"s -> {_md5_hash_sql('sim', 's')})"
+    )
+
+
+def sketch_simhash16_from_hashes(hs_col: str) -> Column:
+    """16-bit SimHash from a projected sim-hash array (by NAME)."""
+    terms = []
+    for b in range(16):
+        bitsum = (
+            f"aggregate({hs_col}, cast(0 as bigint), "
+            f"(a, x) -> a + ((x >> {b}) & 1) * 2 - 1)"
+        )
+        terms.append(f"(CASE WHEN {bitsum} > 0 THEN {1 << b} ELSE 0 END)")
+    return F.expr(" + ".join(terms)).cast("long")
+
+
 def winnow_gram_hashes_col(col_name: str, k: int = 8) -> Column:
     """Pure-Column md5 k-gram hashes over an ALREADY-PROJECTED
     normalized-text column (passed by NAME — lambda-CSE: Catalyst does

@@ -492,6 +492,11 @@ def q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     df = _doc(spark, sf_dir).select("doc_id", "text")
+    # the test parquet is one small file -> one input split; fan out so
+    # the per-shingle digests use every core (at 100 TB the scan yields
+    # thousands of splits and this repartition is unnecessary — same
+    # note as q_html_pipeline)
+    df = df.repartition(spark.sparkContext.defaultParallelism)
     # each stage projected separately (lambda-CSE rule)
     df = df.select(
         "doc_id", "text", sketch_shingles_col("text", k=3).alias("sh")
@@ -500,7 +505,7 @@ def q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "sh",
         sketch_sim_hashes_col("sh").alias("hs"),
-        sketch_md5_udf_col(F.col("text"), num_hashes=16, k=3).alias("u"),
+        sketch_md5_udf_col(F.col("text"), seeds=(0, 7, 15), k=3).alias("u"),
     )
     return df.select(
         "doc_id",
@@ -510,8 +515,8 @@ def q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         sketch_minhash_col("sh", 15).alias("minhash_15"),
         F.col("u.simhash16").alias("simhash16_u"),
         F.try_element_at(F.col("u.minhash"), F.lit(1)).alias("minhash_0_u"),
-        F.try_element_at(F.col("u.minhash"), F.lit(8)).alias("minhash_7_u"),
-        F.try_element_at(F.col("u.minhash"), F.lit(16)).alias("minhash_15_u"),
+        F.try_element_at(F.col("u.minhash"), F.lit(2)).alias("minhash_7_u"),
+        F.try_element_at(F.col("u.minhash"), F.lit(3)).alias("minhash_15_u"),
     )
 
 

@@ -449,7 +449,7 @@ def winnow_minima_md5_udf_col(
 
 
 def sketch_md5_py(
-    text: str, num_hashes: int = 16, k: int = 3
+    text: str, seeds: tuple[int, ...] = (0, 7, 15), k: int = 3
 ) -> tuple[int, list[int]]:
     """Portable (md5-contract) SimHash16 + MinHash over word k-shingles
     — same role as the fused xxhash-style ``sketches_col`` (the 100 TB
@@ -460,7 +460,10 @@ def sketch_md5_py(
     whole text as one shingle when shorter); hash_i(s) = first 15 hex
     digits of md5('<i>:' + s); minhash_i = min over shingles;
     simhash16 bit b set iff sum over DISTINCT shingles of
-    (bit_b(hash_sim(s)) ? +1 : -1) > 0 with hash_sim seeded 'sim'."""
+    (bit_b(hash_sim(s)) ? +1 : -1) > 0 with hash_sim seeded 'sim'.
+    Only the EMITTED seeds are computed (each (seed, shingle) pair is
+    one md5 digest — the full 16/64-seed signature is sketches_col's
+    vectorized job, not this contract's)."""
     words = (text or "").lower().split()
     if len(words) >= k:
         shingles = [
@@ -474,7 +477,7 @@ def sketch_md5_py(
             hashlib.md5(f"{seed}:{s}".encode("utf-8")).hexdigest()[:15], 16
         )
 
-    minhash = [min(h(i, s) for s in shingles) for i in range(num_hashes)]
+    minhash = [min(h(i, s) for s in shingles) for i in seeds]
     sim_hashes = [h("sim", s) for s in set(shingles)]
     sim = 0
     for b in range(16):
@@ -485,7 +488,7 @@ def sketch_md5_py(
 
 
 @lru_cache(maxsize=2)
-def _sketch_md5_udf(num_hashes: int, k: int):
+def _sketch_md5_udf(seeds: tuple[int, ...], k: int):
     @F.pandas_udf(
         T.StructType(
             [
@@ -495,7 +498,7 @@ def _sketch_md5_udf(num_hashes: int, k: int):
         )
     )
     def udf(texts: pd.Series) -> pd.DataFrame:
-        rows = [sketch_md5_py(t, num_hashes, k) for t in texts]
+        rows = [sketch_md5_py(t, seeds, k) for t in texts]
         return pd.DataFrame(
             {"simhash16": [r[0] for r in rows],
              "minhash": [r[1] for r in rows]}
@@ -505,10 +508,10 @@ def _sketch_md5_udf(num_hashes: int, k: int):
 
 
 def sketch_md5_udf_col(
-    text: Column, num_hashes: int = 16, k: int = 3
+    text: Column, seeds: tuple[int, ...] = (0, 7, 15), k: int = 3
 ) -> Column:
     """Arrow-batched UDF path of the portable sketch contract."""
-    return _sketch_md5_udf(num_hashes, k)(text)
+    return _sketch_md5_udf(tuple(seeds), k)(text)
 
 
 def sketch_shingles_col(col_name: str, k: int = 3) -> Column:

@@ -203,7 +203,10 @@ def run_corpus_curate(cores: str, corpus_path: str,
     best = float("inf")
     for i in range(4):  # run0 = warm-up; min-of-3
         ded = chunk_dedup(df, "text", "url", chunk_words=12)
-        cont = decontaminate(df, bench, "text", "url", n=8)
+        # strategy pinned (r4 review): auto mode runs an eager
+        # size-estimate job at construction, outside the timed window
+        cont = decontaminate(df, bench, "text", "url", n=8,
+                             strategy="broadcast")
         t0 = time.perf_counter()
         _materialize(ded.join(cont, "url"))
         dt = time.perf_counter() - t0

@@ -489,6 +489,7 @@ def q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         sketch_shingles_col,
         sketch_sim_hashes_col,
         sketch_simhash16_from_hashes,
+        sketch_words_col,
     )
 
     df = _doc(spark, sf_dir).select("doc_id", "text")
@@ -497,9 +498,11 @@ def q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # thousands of splits and this repartition is unnecessary — same
     # note as q_html_pipeline)
     df = df.repartition(spark.sparkContext.defaultParallelism)
-    # each stage projected separately (lambda-CSE rule)
+    # each stage projected separately (lambda-CSE rule): words, THEN
+    # shingles over the projected array, THEN hashes
+    df = df.select("doc_id", "text", sketch_words_col("text").alias("ws"))
     df = df.select(
-        "doc_id", "text", sketch_shingles_col("text", k=3).alias("sh")
+        "doc_id", "text", sketch_shingles_col("ws", k=3).alias("sh")
     )
     df = df.select(
         "doc_id",
@@ -541,7 +544,8 @@ WITH base AS (
 ), shingled AS (
   SELECT doc_id, CASE WHEN len(ws) >= 3 THEN
       [array_to_string(ws[i : i + 2], ' ') FOR i IN range(1, len(ws) - 1)]
-    ELSE [array_to_string(ws, ' ')] END AS sh
+    -- array_to_string([]) is NULL in DuckDB; Spark's array_join([]) is ''
+    ELSE [coalesce(array_to_string(ws, ' '), '')] END AS sh
   FROM base
 ), hashed AS (
   SELECT doc_id, sh,
@@ -682,15 +686,16 @@ WITH base AS (
           FOR j IN range(1, greatest(len(h) - 3, 1) + 1)] END AS mins
   FROM g
 )
-SELECT doc_id,
-  count(DISTINCT v)::bigint AS n_fp,
-  min(v) AS fp_min, max(v) AS fp_max,
-  bit_xor(DISTINCT v) AS fp_xor,
-  count(DISTINCT v)::bigint AS n_fp_u,
-  min(v) AS fp_min_u, max(v) AS fp_max_u,
-  bit_xor(DISTINCT v) AS fp_xor_u
-FROM m, unnest(mins) AS u(v)
-GROUP BY doc_id
+SELECT m.doc_id,
+  count(DISTINCT u.v)::bigint AS n_fp,
+  min(u.v) AS fp_min, max(u.v) AS fp_max,
+  coalesce(bit_xor(DISTINCT u.v), 0) AS fp_xor,
+  count(DISTINCT u.v)::bigint AS n_fp_u,
+  min(u.v) AS fp_min_u, max(u.v) AS fp_max_u,
+  coalesce(bit_xor(DISTINCT u.v), 0) AS fp_xor_u
+FROM m LEFT JOIN (SELECT doc_id, unnest(mins) AS v FROM m) u
+  USING (doc_id)
+GROUP BY m.doc_id
 """
 
 
@@ -1864,7 +1869,12 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _doc(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") % BENCH_MOD == BENCH_REM)
-    return decontaminate(docs, bench, "text", "doc_id", DECONTAM_N).select(
+    # strategy pinned: the synthetic benchmark is tiny by construction,
+    # and auto mode runs an eager size-estimate job at plan-construction
+    # time (review finding r4 — it would sit outside the timed window)
+    return decontaminate(
+        docs, bench, "text", "doc_id", DECONTAM_N, strategy="broadcast"
+    ).select(
         "doc_id",
         F.col("n_hits").cast("bigint").alias("n_hits"),
         F.col("contaminated").cast("int").alias("contaminated"),
@@ -2116,7 +2126,9 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("n_kept").cast("bigint").alias("n_kept_chunks")
     )
     bench = docs.filter(F.col("doc_id") % BENCH_MOD == BENCH_REM)
-    cont = decontaminate(docs, bench, "text", "doc_id", DECONTAM_N).select(
+    cont = decontaminate(
+        docs, bench, "text", "doc_id", DECONTAM_N, strategy="broadcast"
+    ).select(
         "doc_id", "contaminated"
     )
     out = base.join(ded, "doc_id").join(cont, "doc_id")
@@ -2729,7 +2741,9 @@ a0 AS (
         ORDER BY {cos_es} DESC, s.cell DESC) AS rn
     FROM e CROSS JOIN seeds s) WHERE rn = 1),
 means AS (
-  SELECT a0.cell, r.i AS dim, avg(e.embedding[r.i]::double) AS m
+  -- round(…, 6): the Lloyd means join the 6dp cross-engine contract
+  -- (distributed avg is summation-order-sensitive in the last ulp)
+  SELECT a0.cell, r.i AS dim, round(avg(e.embedding[r.i]::double), 6) AS m
   FROM a0 JOIN e USING (vec_id) CROSS JOIN range(1, 65) AS r(i)
   GROUP BY a0.cell, r.i),
 cents AS (

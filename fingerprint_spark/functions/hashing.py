@@ -418,10 +418,24 @@ def winnow_fingerprints_col(text: Column, k: int = 8, window: int = 4) -> Column
 # #1). Reference analog: content identity, src/dsl/content_hash.rs:7-69.
 
 
+def _ascii_ws_normalize(text: str) -> str:
+    """Collapse ASCII whitespace runs to single spaces + strip — the
+    EXACT semantics of trim(regexp_replace(lower(x), '\\s+', ' ')) on
+    the JVM and of RE2 \\s in DuckDB. Python str.split() would also
+    split on Unicode whitespace (NBSP etc.), silently diverging the
+    UDF contract path from the Column/oracle paths (review finding
+    r4)."""
+    import re
+
+    toks = [t for t in re.split(r"\s+", (text or "").lower(), flags=re.ASCII)
+            if t]
+    return " ".join(toks)
+
+
 def winnow_minima_py(text: str, k: int = 8, window: int = 4) -> list[int]:
     """Window minima (with duplicates) of md5 k-gram hashes over
     whitespace-normalized lowercased text — the portable contract."""
-    s = " ".join((text or "").lower().split())
+    s = _ascii_ws_normalize(text)
     if len(s) < k:
         return []
     hs = [
@@ -464,7 +478,8 @@ def sketch_md5_py(
     Only the EMITTED seeds are computed (each (seed, shingle) pair is
     one md5 digest — the full 16/64-seed signature is sketches_col's
     vectorized job, not this contract's)."""
-    words = (text or "").lower().split()
+    words = _ascii_ws_normalize(text).split(" ") if text else []
+    words = [w for w in words if w]
     if len(words) >= k:
         shingles = [
             " ".join(words[i : i + k]) for i in range(len(words) - k + 1)
@@ -514,13 +529,21 @@ def sketch_md5_udf_col(
     return _sketch_md5_udf(tuple(seeds), k)(text)
 
 
-def sketch_shingles_col(col_name: str, k: int = 3) -> Column:
-    """Word k-shingles from an ALREADY-PROJECTED text column (by NAME;
-    lambda-CSE rule): array<string>, whole-text single shingle when
-    shorter than k words."""
-    ws = (
+def sketch_words_col(col_name: str) -> Column:
+    """Lowercased ASCII-whitespace word array from a text column (by
+    NAME) — project THIS first, then pass its name to
+    sketch_shingles_col (lambda-CSE: interpolating the split into the
+    shingle lambda would re-split the text once per shingle)."""
+    return F.expr(
         f"filter(split(trim(lower({col_name})), '\\\\s+'), w -> w != '')"
     )
+
+
+def sketch_shingles_col(words_col: str, k: int = 3) -> Column:
+    """Word k-shingles from an ALREADY-PROJECTED word-array column (by
+    NAME; lambda-CSE rule): array<string>, whole-text single shingle
+    when shorter than k words."""
+    ws = words_col
     return F.expr(
         f"CASE WHEN size({ws}) >= {k} THEN "
         f"transform(sequence(1, size({ws}) - {k - 1}), "

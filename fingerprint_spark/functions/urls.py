@@ -179,6 +179,11 @@ def robots_disallows(robots_txt: Column, agent: str = "*") -> Column:
     # 'ua:<value>' (value whitespace handled at compare time)
     body = F.regexp_replace(robots_txt, r"(?m)#.*$", "")
     body = F.regexp_replace(body, "\r", "")
+    # drop blank lines BEFORE grouping: RFC 9309 §2.1 allows empty /
+    # comment-only lines between stacked user-agent lines, and rules
+    # bind to the nearest preceding agent run regardless of blank
+    # separation — a blank line must not split a run
+    body = F.regexp_replace(body, r"(?m)^[ \t]*\n", "")
     body = F.regexp_replace(body, r"(?mi)^[ \t]*user-agent[ \t]*:", "ua:")
     # one separator per GROUP: a maximal run of consecutive ua: lines
     # starts a group, so the separator goes before the run — a rule set

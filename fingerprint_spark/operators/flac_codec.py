@@ -262,18 +262,20 @@ def encode_flac(
                 w.write(0, 6)   # CONSTANT
                 w.write(0, 1)
                 w.write(int(x[0]), 16)
-            elif bs >= 2:
-                w.write(0, 1)
-                w.write(0b001000 | 1, 6)  # FIXED order 1
-                w.write(0, 1)
-                w.write(int(x[0]), 16)    # warm-up
-                _write_residual(w, np.diff(x))
-            else:
+            elif bs < 4:
+                # blocks too short for prediction to pay: VERBATIM
+                # (also keeps the decoder's stype==1 path exercised)
                 w.write(0, 1)
                 w.write(1, 6)   # VERBATIM
                 w.write(0, 1)
                 for v in x:
                     w.write(int(v), 16)
+            else:
+                w.write(0, 1)
+                w.write(0b001000 | 1, 6)  # FIXED order 1
+                w.write(0, 1)
+                w.write(int(x[0]), 16)    # warm-up
+                _write_residual(w, np.diff(x))
         w.align()
         frame = bytes(head) + w.bytes()
         out += frame + struct.pack(">H", _crc16(frame))
@@ -321,7 +323,7 @@ def decode_flac(data: bytes) -> dict:
     struct.error from corrupt bytes)."""
     try:
         return _decode_flac(data)
-    except (IndexError, struct.error) as e:
+    except (IndexError, struct.error, MemoryError) as e:
         raise ValueError(f"flac: truncated or corrupt stream ({e})") from None
 
 
@@ -356,6 +358,16 @@ def _decode_flac(data: bytes) -> dict:
     rate, ch, bps, total, md5 = info
     if bps != 16:
         raise ValueError("flac: subset supports 16-bit samples only")
+    # sanity-bound the 36-bit total-samples field against the payload:
+    # FLAC's worst case is ~17 bits per 16-bit sample (VERBATIM +
+    # framing), so decoded size can't exceed ~9x the stream size — a
+    # corrupt/malicious header must not drive a huge allocation
+    # (MemoryError would escape the E_PARSE contract)
+    if total * ch * 2 > 16 * max(len(data), 1):
+        raise ValueError(
+            f"flac: total_samples {total} inconsistent with "
+            f"{len(data)}-byte stream"
+        )
 
     out = np.zeros((total, ch), dtype=np.int32)
     got = 0

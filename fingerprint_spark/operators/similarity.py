@@ -217,7 +217,15 @@ def kmeans_centroids(
         new = [list(c) for c in cents]
         seen = set()
         for r in means:
-            new[r["cell"]][r["dim"]] = float(r["m"])
+            m = float(r["m"])
+            if round_dp is not None:
+                # the means themselves join the cross-engine contract:
+                # a distributed avg sums in partition order, so the
+                # last ulp differs run-to-run / engine-to-engine, and
+                # an UNROUNDED centroid feeding rounded cosines leaves
+                # a (tiny) boundary-flip risk; rounding here pins it
+                m = round(m, round_dp)
+            new[r["cell"]][r["dim"]] = m
             seen.add(r["cell"])
         cents = [
             new[i] if i in seen else list(cents[i]) for i in range(len(cents))

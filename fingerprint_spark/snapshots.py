@@ -42,6 +42,21 @@ from pyspark.sql import types as T
 _SNAP_RE = re.compile(r"^v(\d{9})\.json$")
 
 
+def _require_local(table_path: str) -> None:
+    """Snapshot metadata uses driver-local os primitives (os.link is
+    the atomic-publish primitive); a URI-scheme path (s3a://, hdfs://)
+    would land data remotely while os.walk scans a nonexistent local
+    dir and publishes an EMPTY file list — silent data loss. Refuse
+    loudly; remote tables need the Hadoop-FS analog
+    (FileSystem.create(path, overwrite=false), see module docstring)."""
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", table_path):
+        raise ValueError(
+            f"snapshot tables are local-filesystem only (got "
+            f"{table_path!r}); use the Hadoop FS commit protocol for "
+            f"remote storage"
+        )
+
+
 def _snap_dir(table_path: str) -> str:
     return os.path.join(table_path, "_snapshots")
 
@@ -51,6 +66,7 @@ def _manifest_file(table_path: str, snapshot_id: int) -> str:
 
 
 def list_snapshots(table_path: str) -> list[int]:
+    _require_local(table_path)
     d = _snap_dir(table_path)
     if not os.path.isdir(d):
         return []
@@ -99,6 +115,7 @@ def commit_snapshot(
     expire_snapshots' job). Returns the committed manifest."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    _require_local(table_path)
     os.makedirs(_snap_dir(table_path), exist_ok=True)
     # data files land under a directory unique to this ATTEMPT (pid +
     # monotonic ns): uniqueness must not depend on winning the commit

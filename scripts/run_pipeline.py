@@ -380,6 +380,16 @@ def _curate_mode(argv: list[str]) -> int:
               "append|overwrite]  (atomic snapshot commit)]",
               file=sys.stderr)
         return 2
+    if "snapshot_output" in opts and "output" in opts:
+        # ambiguous: the snapshot branch would silently skip --output
+        # (review finding r4) — make the caller pick one sink
+        print("error: pass either --output or --snapshot-output, not both",
+              file=sys.stderr)
+        return 2
+    if "shards" in opts and "output" not in opts:
+        print("error: --shards requires --output (a plain sharded "
+              "directory, not a snapshot table)", file=sys.stderr)
+        return 2
     from pyspark.sql import Observation, SparkSession
     from pyspark.sql import functions as F  # noqa: N812
 

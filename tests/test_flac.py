@@ -33,7 +33,10 @@ def test_roundtrip_shapes_and_paths():
     _roundtrip(np.full(300, -123, dtype=np.int16))            # CONSTANT
     _roundtrip((np.arange(500) * 13 % 4096 - 2048).astype(np.int16))
     _roundtrip(rng.randint(-32768, 32767, 777).astype(np.int16))
-    _roundtrip(np.array([5], dtype=np.int16))                  # VERBATIM
+    _roundtrip(np.array([5], dtype=np.int16))                  # CONSTANT 1-blk
+    # non-flat final partial block of 3 -> VERBATIM subframe
+    _roundtrip(np.array([9, -4, 17] * 23, dtype=np.int16)[:67],
+               blocksize=64)
     _roundtrip(np.array([32767, -32768] * 50, dtype=np.int16))  # extremes
     st = np.stack(
         [(np.arange(321) * 7 % 1000 - 500), np.full(321, 42)], axis=1
@@ -60,6 +63,12 @@ def test_corruption_and_subset_refusals():
     bad2[4 + 4 + 18] ^= 0x01
     with pytest.raises(ValueError, match="md5"):
         decode_flac(bytes(bad2))
+    # malicious total-samples (the 36-bit field maxed) must be refused
+    # BEFORE allocation, not surface as MemoryError (review finding)
+    bad3 = bytearray(b)
+    bad3[8 + 14 : 8 + 18] = b"\xff\xff\xff\xff"
+    with pytest.raises(ValueError, match="inconsistent"):
+        decode_flac(bytes(bad3))
 
 
 def test_utf8_coded_number_roundtrip():

@@ -97,3 +97,45 @@ def test_xlsx_grid_roundtrip_matches_decode(spark):
     a = {tuple(r) for r in q_xlsx_grid(spark, SF_DIR).collect()}
     b = {tuple(r) for r in q_xlsx_decode(spark, SF_DIR).collect()}
     assert a == b and len(a) > 0
+
+
+def test_winnow_sketches_parity_on_adversarial_docs(spark, tmp_path):
+    """Review findings r4: sub-k-char docs must not drop out of the
+    winnow oracle (LEFT JOIN), and Unicode whitespace (NBSP) must not
+    diverge the Python-UDF contract path from the Column/oracle paths
+    (ASCII-\\s tokenization everywhere)."""
+    import duckdb
+
+    docs = [
+        (0, "short", "s0", "en"),                       # < k=8 chars
+        (1, "alpha beta gamma delta words here now", "s0", "en"),
+        (2, "", "s1", "en"),                            # empty
+        (3, "a perfectly ordinary document with words", "s1", "en"),
+    ]
+    d = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string, lang string"
+    ).coalesce(1).write.parquet(d)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/*.parquet'"
+    )
+    for name in ("winnow", "sketches"):
+        q = entry_mod.queries()[name]
+        sdf = q(spark, str(tmp_path))
+        spark_rows = [tuple(r) for r in sdf.collect()]
+        res = con.execute(entry_mod.oracle_sql()[name])
+        duck_cols = [c[0] for c in res.description]
+        duck_rows = res.fetchall()
+        assert len(spark_rows) == len(duck_rows) == 4, name
+        a = _rowset(spark_rows, sdf.columns)
+        b = _rowset(duck_rows, duck_cols)
+        assert a == b, (name, a, b)
+        # Column path == UDF path per row (the _u columns)
+        for r in sdf.collect():
+            base = [c for c in sdf.columns if not c.endswith("_u")
+                    and c != "doc_id"]
+            for c in base:
+                assert r[c] == r[c + "_u"], (name, r["doc_id"], c)
+    con.close()

@@ -173,3 +173,15 @@ def test_curate_cli_snapshot_pinned_in_and_committed_out(
         w["tool"] == "curate" and w["params"]["snapshot_id"] == 1
         for w in wrows
     )
+
+
+def test_remote_scheme_refused(spark):
+    """Review finding r4: a URI-scheme table path would write data
+    remotely but scan a nonexistent local dir -> empty manifest;
+    refuse instead."""
+    import pytest
+
+    with pytest.raises(ValueError, match="local-filesystem only"):
+        commit_snapshot(_corpus(spark, 0, 3), "s3a://bucket/tbl")
+    with pytest.raises(ValueError, match="local-filesystem only"):
+        list_snapshots("hdfs://nn/tbl")

@@ -245,3 +245,17 @@ def test_robots_rfc9309_header_forms(spark):
     assert row["c_star"] == ["/x"] and row["c_bot"] == ["/x"]
     # same-agent groups combine (RFC 9309 §2.2.1); 'other' doesn't leak
     assert row["d"] == ["/one", "/two"]
+
+
+def test_robots_blank_and_comment_lines_inside_a_run(spark):
+    """Review finding r4: RFC 9309 §2.1 allows empty / comment-only
+    lines between stacked startgrouplines — they must not split the
+    run or detach the rules."""
+    from fingerprint_spark.functions.urls import robots_disallows
+
+    gap = "User-agent: a\n# note\nUser-agent: *\n\nDisallow: /x\n"
+    row = spark.range(1).select(
+        robots_disallows(F.lit(gap), "a").alias("a"),
+        robots_disallows(F.lit(gap)).alias("star"),
+    ).head()
+    assert row["a"] == ["/x"] and row["star"] == ["/x"]

@@ -192,6 +192,12 @@ def decode_wav(payload: bytes) -> dict:
     try:
         wf = wave.open(io.BytesIO(payload), "rb")
     except (wave.Error, EOFError) as e:
+        # the stdlib module reads PCM only; IMA ADPCM (fmt tag 0x11)
+        # is a real crawl-data variant — decode it ourselves
+        try:
+            return decode_wav_ima_adpcm(payload)
+        except ValueError:
+            pass
         raise ValueError(f"not a wav: {e}") from None
     with wf:
         rate = wf.getframerate()
@@ -216,6 +222,168 @@ def decode_wav(payload: bytes) -> dict:
         "duration_ms": int(n * 1000 / rate) if rate else 0,
         "rms": rms,
     }
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM WAV (wFormatTag 0x11) — the compressed-WAV variant the stdlib
+# wave module refuses. The algorithm (step/index tables, nibble update) is
+# the public IMA/DVI ADPCM spec; decode is exactly defined integer
+# arithmetic, so decode(encode(x)) is deterministic and re-encoding the
+# decoded signal is byte-identical (tested).
+# ---------------------------------------------------------------------------
+
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+_IMA_STEP = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+
+
+def _ima_step_decode(pred: int, index: int, nibble: int) -> tuple[int, int]:
+    step = _IMA_STEP[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX[nibble]))
+    return pred, index
+
+
+def decode_wav_ima_adpcm(payload: bytes) -> dict:
+    """IMA ADPCM WAV (mono, fmt tag 0x11) -> same dict shape as
+    decode_wav plus the decoded int16 'samples' array. ValueError on
+    anything else (E_PARSE contract)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a wav: bad RIFF header")
+    pos, fmt, data, fact = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        elif cid == b"fact" and clen >= 4:
+            # total sample count — mandatory for non-PCM WAV; bounds
+            # the padded final block
+            (fact,) = struct.unpack("<I", body[:4])
+        pos += 8 + clen + (clen & 1)
+    if fmt is None or data is None:
+        raise ValueError("wav: missing fmt/data chunk")
+    tag, ch, rate, _bps, block_align, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if tag != 0x11:
+        raise ValueError(f"not ima adpcm (fmt tag {tag:#x})")
+    if ch != 1:
+        raise ValueError("ima adpcm subset: mono only")
+    if bits != 4:
+        raise ValueError("ima adpcm: 4-bit nibbles only")
+    (spb,) = struct.unpack("<H", fmt[18:20]) if len(fmt) >= 20 else (
+        (block_align - 4) * 2 + 1,
+    )
+    out = []
+    for bstart in range(0, len(data), block_align):
+        block = data[bstart : bstart + block_align]
+        if len(block) < 4:
+            break
+        pred = struct.unpack("<h", block[:2])[0]
+        index = min(88, block[2])
+        out.append(pred)
+        produced = 1
+        for byte in block[4:]:
+            for nib in (byte & 0xF, byte >> 4):
+                if produced >= spb:
+                    break
+                pred, index = _ima_step_decode(pred, index, nib)
+                out.append(pred)
+                produced += 1
+    samples = np.array(out, dtype=np.int16)
+    if fact is not None:
+        samples = samples[:fact]
+    n = len(samples)
+    norm = samples.astype(np.float64) / 32768.0
+    return {
+        "sample_rate": rate,
+        "n_channels": 1,
+        "sample_width": 2,
+        "n_frames": n,
+        "duration_ms": int(n * 1000 / rate) if rate else 0,
+        "rms": float(np.sqrt(np.mean(norm * norm))) if n else 0.0,
+        "samples": samples,
+    }
+
+
+def encode_wav_ima_adpcm(
+    samples: "np.ndarray", sample_rate: int = 8000, block_samples: int = 505
+) -> bytes:
+    """Deterministic mono IMA ADPCM WAV writer (canonical encoder:
+    3-bit magnitude successive approximation + decoder-mirrored state
+    update)."""
+    s = np.asarray(samples, dtype=np.int16)
+    block_align = 4 + (block_samples - 1 + 1) // 2
+    blocks = []
+    for bstart in range(0, len(s), block_samples):
+        blk = s[bstart : bstart + block_samples]
+        pred = int(blk[0])
+        # per-block initial step index sized to the block's mean
+        # |delta| (encoder freedom; kills the cold-start adaptation
+        # transient the all-zeros index causes on steep signals)
+        mean_d = (
+            float(np.abs(np.diff(blk.astype(np.int64))).mean())
+            if len(blk) > 1 else 0.0
+        )
+        index = int(
+            np.argmin([abs(st - mean_d) for st in _IMA_STEP])
+        )
+        hdr = struct.pack("<hBB", pred, index, 0)
+        nibbles = []
+        for sample in blk[1:]:
+            step = _IMA_STEP[index]
+            delta = int(sample) - pred
+            nib = 0
+            if delta < 0:
+                nib = 8
+                delta = -delta
+            if delta >= step:
+                nib |= 4
+                delta -= step
+            if delta >= step >> 1:
+                nib |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                nib |= 1
+            pred, index = _ima_step_decode(pred, index, nib)
+            nibbles.append(nib)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        body = bytes(
+            nibbles[i] | (nibbles[i + 1] << 4)
+            for i in range(0, len(nibbles), 2)
+        )
+        blocks.append(hdr + body.ljust(block_align - 4, b"\x00"))
+    data = b"".join(blocks)
+    byte_rate = sample_rate * block_align // block_samples
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate, byte_rate, block_align, 4, 2,
+        block_samples,
+    )
+    riff = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, len(s))
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
 
 def encode_wav(

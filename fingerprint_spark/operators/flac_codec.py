@@ -17,11 +17,14 @@ Python + numpy:
   STREAMINFO md5 of the raw little-endian sample stream — decode is
   PROVEN bit-exact per file, not assumed.
 
-Subset limits (refused with ValueError, the E_PARSE contract): LPC
-subframes, wasted bits, stereo decorrelation (left/side, right/side,
-mid/side) — channels are independent; 16-bit samples only. The
-encoder (fixture side) emits CONSTANT for flat blocks and FIXED
-order-1 + Rice otherwise, so real predictor/Rice paths are exercised.
+Stereo decorrelation (left/side, right/side, mid/side — the channel
+assignments real encoders emit; the side channel is bps+1 wide) is
+decoded and, for fixtures, encoded. Subset limits (refused with
+ValueError, the E_PARSE contract): LPC subframes, wasted bits, >2
+channels with decorrelation; 16-bit samples only. The encoder
+(fixture side) emits CONSTANT for flat blocks, VERBATIM for sub-4
+blocks, FIXED order-1 + Rice otherwise, so the real predictor/Rice
+paths are exercised.
 
 Reference analog: the byte-level document fallbacks of
 src/document/raw.rs; beyond-reference per the round brief's multimodal
@@ -199,8 +202,12 @@ def _rice_param(folded: np.ndarray) -> int:
     return best_k
 
 
-def _write_residual(w: _BitWriter, res: np.ndarray) -> None:
-    """Rice coding method 00, partition order 0, one 4-bit parameter."""
+def _write_residual(
+    w: _BitWriter, res: np.ndarray, raw_bits: int = 18
+) -> None:
+    """Rice coding method 00, partition order 0, one 4-bit parameter.
+    raw_bits: escape width (bps + 2 covers any first-difference of
+    bps-bit samples)."""
     w.write(0, 2)   # coding method: rice, 4-bit params
     w.write(0, 4)   # partition order 0
     folded = np.array([_zigzag(int(r)) for r in res], dtype=np.int64)
@@ -211,18 +218,51 @@ def _write_residual(w: _BitWriter, res: np.ndarray) -> None:
             w.write_unary(int(u) >> k)
             w.write(int(u), k)
     else:
-        # escape: raw residuals at 17 bits (covers 16-bit deltas)
+        # escape: raw residuals
         w.write(0xF, 4)
-        w.write(17, 5)
+        w.write(raw_bits, 5)
         for r in res:
-            w.write(int(r) & ((1 << 17) - 1), 17)
+            w.write(int(r) & ((1 << raw_bits) - 1), raw_bits)
+
+
+def _write_subframe(w: _BitWriter, x: np.ndarray, bps: int) -> None:
+    """CONSTANT for flat blocks, VERBATIM for sub-4-sample blocks,
+    FIXED order-1 + Rice otherwise, at the given sample width (the
+    side channel of a decorrelated stereo pair is bps+1 wide)."""
+    bs = len(x)
+    if np.all(x == x[0]):
+        w.write(0, 1)
+        w.write(0, 6)   # CONSTANT
+        w.write(0, 1)
+        w.write(int(x[0]), bps)
+    elif bs < 4:
+        w.write(0, 1)
+        w.write(1, 6)   # VERBATIM
+        w.write(0, 1)
+        for v in x:
+            w.write(int(v), bps)
+    else:
+        w.write(0, 1)
+        w.write(0b001000 | 1, 6)  # FIXED order 1
+        w.write(0, 1)
+        w.write(int(x[0]), bps)   # warm-up
+        _write_residual(w, np.diff(x), raw_bits=bps + 2)
+
+
+_STEREO_ASSIGN = {"left_side": 8, "right_side": 9, "mid_side": 10}
 
 
 def encode_flac(
-    samples: np.ndarray, rate: int = 8000, blocksize: int = 64
+    samples: np.ndarray,
+    rate: int = 8000,
+    blocksize: int = 64,
+    stereo_mode: str = "independent",
 ) -> bytes:
     """samples: int16 array shaped (n,) or (n, channels). Emits
-    CONSTANT subframes for flat blocks, FIXED order-1 + Rice otherwise."""
+    CONSTANT subframes for flat blocks, FIXED order-1 + Rice
+    otherwise. stereo_mode (2-channel input only): 'independent' or a
+    decorrelation — 'left_side' / 'right_side' / 'mid_side' (the
+    channel assignments real encoders emit; side = L - R at bps+1)."""
     s = np.asarray(samples, dtype=np.int16)
     if s.ndim == 1:
         s = s[:, None]
@@ -247,35 +287,36 @@ def encode_flac(
     for fi, start in enumerate(range(0, n, blocksize)):
         blk = s[start : start + blocksize]
         bs = len(blk)
+        decorr = stereo_mode != "independent"
+        if decorr:
+            if ch != 2:
+                raise ValueError("flac: stereo_mode needs 2 channels")
+            assign = _STEREO_ASSIGN[stereo_mode]
+        else:
+            assign = ch - 1
         head = bytearray()
         head += b"\xff\xf8"     # sync 11111111 111110, reserved 0, fixed
         head.append((0x7 << 4) | 0x0)  # blocksize: 16-bit-1 tail; rate: streaminfo
-        head.append(((ch - 1) << 4) | (0x4 << 1) | 0)  # indep ch, 16 bps
+        head.append((assign << 4) | (0x4 << 1) | 0)  # ch assignment, 16 bps
         head += _utf8_coded(fi)
         head += struct.pack(">H", bs - 1)
         head.append(_crc8(bytes(head)))
         w = _BitWriter()
-        for c in range(ch):
-            x = blk[:, c].astype(np.int64)
-            if np.all(x == x[0]):
-                w.write(0, 1)
-                w.write(0, 6)   # CONSTANT
-                w.write(0, 1)
-                w.write(int(x[0]), 16)
-            elif bs < 4:
-                # blocks too short for prediction to pay: VERBATIM
-                # (also keeps the decoder's stype==1 path exercised)
-                w.write(0, 1)
-                w.write(1, 6)   # VERBATIM
-                w.write(0, 1)
-                for v in x:
-                    w.write(int(v), 16)
-            else:
-                w.write(0, 1)
-                w.write(0b001000 | 1, 6)  # FIXED order 1
-                w.write(0, 1)
-                w.write(int(x[0]), 16)    # warm-up
-                _write_residual(w, np.diff(x))
+        if decorr:
+            left = blk[:, 0].astype(np.int64)
+            right = blk[:, 1].astype(np.int64)
+            side = left - right
+            if stereo_mode == "left_side":
+                chans = [(left, 16), (side, 17)]
+            elif stereo_mode == "right_side":
+                chans = [(side, 17), (right, 16)]
+            else:  # mid_side: mid = (L+R)>>1 (floor), side = L-R
+                chans = [((left + right) >> 1, 16), (side, 17)]
+            for x, bps in chans:
+                _write_subframe(w, x, bps)
+        else:
+            for c in range(ch):
+                _write_subframe(w, blk[:, c].astype(np.int64), 16)
         w.align()
         frame = bytes(head) + w.bytes()
         out += frame + struct.pack(">H", _crc16(frame))
@@ -379,11 +420,13 @@ def _decode_flac(data: bytes) -> dict:
         sr_code = data[pos + 2] & 0x0F
         ch_asgn = data[pos + 3] >> 4
         ss_code = (data[pos + 3] >> 1) & 0x7
-        if ch_asgn >= 8:
-            raise ValueError(
-                "flac: stereo decorrelation outside the subset"
-            )
-        if ch_asgn + 1 != ch:
+        if ch_asgn >= 11:
+            raise ValueError("flac: reserved channel assignment")
+        decorr = ch_asgn >= 8
+        if decorr:
+            if ch != 2:
+                raise ValueError("flac: channel count mismatch")
+        elif ch_asgn + 1 != ch:
             raise ValueError("flac: channel count mismatch")
         if ss_code != 0x4:
             raise ValueError("flac: subset supports 16-bit samples only")
@@ -414,21 +457,33 @@ def _decode_flac(data: bytes) -> dict:
         r = _BitReader(data, pos)
         blk = np.zeros((bs, ch), dtype=np.int64)
         for c in range(ch):
+            # the side channel of a decorrelated pair carries bps+1
+            # bits (its range is the difference of two bps-bit values)
+            bps_c = bps + (
+                1
+                if decorr
+                and (
+                    (ch_asgn == 8 and c == 1)   # left/side
+                    or (ch_asgn == 9 and c == 0)  # right/side (side first)
+                    or (ch_asgn == 10 and c == 1)  # mid/side
+                )
+                else 0
+            )
             if r.read(1):
                 raise ValueError("flac: bad subframe padding bit")
             stype = r.read(6)
             if r.read(1):
                 raise ValueError("flac: wasted bits outside the subset")
             if stype == 0:
-                blk[:, c] = r.read_signed(16)
+                blk[:, c] = r.read_signed(bps_c)
             elif stype == 1:
                 for i in range(bs):
-                    blk[i, c] = r.read_signed(16)
+                    blk[i, c] = r.read_signed(bps_c)
             elif 8 <= stype <= 12:
                 order = stype - 8
                 if order > bs:
                     raise ValueError("flac: order exceeds blocksize")
-                warm = [r.read_signed(16) for _ in range(order)]
+                warm = [r.read_signed(bps_c) for _ in range(order)]
                 res = _read_residual(r, bs, order)
                 sig = list(warm)
                 coefs = _FIXED_COEFS[order]
@@ -440,6 +495,21 @@ def _decode_flac(data: bytes) -> dict:
                 blk[:, c] = sig
             else:
                 raise ValueError("flac: LPC subframes outside the subset")
+        if decorr:
+            # undo the decorrelation (RFC 9639 §4.2: side = L - R;
+            # mid = (L+R)>>1 with the lost low bit recovered from the
+            # side channel's parity)
+            if ch_asgn == 8:      # left/side
+                left, side = blk[:, 0].copy(), blk[:, 1]
+                blk[:, 1] = left - side
+            elif ch_asgn == 9:    # right/side
+                side, right = blk[:, 0].copy(), blk[:, 1]
+                blk[:, 0] = right + side
+            else:                 # mid/side
+                mid, side = blk[:, 0].copy(), blk[:, 1].copy()
+                mid2 = (mid << 1) | (side & 1)
+                blk[:, 0] = (mid2 + side) >> 1
+                blk[:, 1] = (mid2 - side) >> 1
         r.align()
         fend = r.byte
         crc16 = struct.unpack(">H", data[fend : fend + 2])[0]

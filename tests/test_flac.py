@@ -110,3 +110,32 @@ def test_audio_features_flac_branch(spark):
     # FLAC rms must equal WAV rms exactly at the sample level
     assert got["f"]["rms"] == pytest.approx(got["w"]["rms"], abs=1e-12)
     assert got["g"]["sample_rate"] is None and got["g"]["rms"] is None
+
+
+def test_stereo_decorrelation_roundtrips():
+    """left/side, right/side, mid/side — the channel assignments real
+    encoders emit — roundtrip bit-exactly (side channel at bps+1,
+    mid/side low-bit recovery from side parity)."""
+    rng = np.random.RandomState(3)
+    # correlated stereo (small side channel — the decorrelation win)
+    base = (np.sin(np.arange(700) / 9.0) * 15000).astype(np.int64)
+    right = base + rng.randint(-300, 300, 700)
+    st = np.stack([base, right], axis=1).astype(np.int16)
+    sizes = {}
+    for mode in ("independent", "left_side", "right_side", "mid_side"):
+        b = encode_flac(st, rate=8000, blocksize=128, stereo_mode=mode)
+        d = decode_flac(b)
+        assert (d["samples"] == st).all(), mode
+        sizes[mode] = len(b)
+    # decorrelation actually compresses better on correlated stereo
+    assert min(sizes["left_side"], sizes["mid_side"]) < sizes["independent"]
+    # extremes through the side channel (needs the 17th bit:
+    # side = 32767 - (-32768) = 65535)
+    ext = np.stack(
+        [np.full(100, 32767), np.full(100, -32768)], axis=1
+    ).astype(np.int16)
+    for mode in ("left_side", "right_side", "mid_side"):
+        d = decode_flac(encode_flac(ext, stereo_mode=mode))
+        assert (d["samples"] == ext).all(), mode
+    with pytest.raises(ValueError, match="2 channels"):
+        encode_flac(np.zeros(10, dtype=np.int16), stereo_mode="mid_side")

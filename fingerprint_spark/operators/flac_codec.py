@@ -10,9 +10,11 @@ Python + numpy:
   skipped), then frames;
 - frame header: 14-bit sync, fixed-blocksize strategy, UTF-8-coded
   frame number, 16-bit (blocksize-1) tail form, CRC-8 verified;
-- subframes: CONSTANT, VERBATIM and FIXED predictors (orders 0-4,
-  the standard difference polynomials) with Rice-coded residuals
-  (4-bit parameter, any partition order, escape-to-raw supported);
+- subframes: CONSTANT, VERBATIM, FIXED predictors (orders 0-4, the
+  standard difference polynomials) and LPC (orders 1-32, quantized
+  coefficients + shift — what real encoders emit most), all with
+  Rice-coded residuals (4-bit parameter, any partition order,
+  escape-to-raw supported) and wasted-bits handling;
 - frame footer CRC-16 verified; decoded audio verified against the
   STREAMINFO md5 of the raw little-endian sample stream — decode is
   PROVEN bit-exact per file, not assumed.
@@ -20,11 +22,12 @@ Python + numpy:
 Stereo decorrelation (left/side, right/side, mid/side — the channel
 assignments real encoders emit; the side channel is bps+1 wide) is
 decoded and, for fixtures, encoded. Subset limits (refused with
-ValueError, the E_PARSE contract): LPC subframes, wasted bits, >2
-channels with decorrelation; 16-bit samples only. The encoder
-(fixture side) emits CONSTANT for flat blocks, VERBATIM for sub-4
-blocks, FIXED order-1 + Rice otherwise, so the real predictor/Rice
-paths are exercised.
+ValueError, the E_PARSE contract): 16-bit samples only; negative LPC
+shifts and reserved codes refuse. The encoder (fixture side) emits
+CONSTANT for flat blocks, VERBATIM for sub-4 blocks, FIXED order-1 +
+Rice otherwise — or the LPC recipe with ``lpc_order=2`` — and codes
+shared trailing zeros as wasted bits, so every decoder path real
+files hit is exercised.
 
 Reference analog: the byte-level document fallbacks of
 src/document/raw.rs; beyond-reference per the round brief's multimodal
@@ -225,28 +228,75 @@ def _write_residual(
             w.write(int(r) & ((1 << raw_bits) - 1), raw_bits)
 
 
-def _write_subframe(w: _BitWriter, x: np.ndarray, bps: int) -> None:
+# fixture LPC recipe: ANY quantized coefficient set roundtrips exactly
+# (the encoder computes residuals with the decoder's own integer
+# predictor), so a fixed order-2 near-[2,-1] filter suffices to
+# exercise the real-world LPC path
+_LPC_PREC = 12          # coded as prec-1 = 11
+_LPC_SHIFT = 10
+_LPC_COEFS = {2: [1946, -932]}   # ~[1.90, -0.91] at 2^10
+
+
+def _write_subframe(
+    w: _BitWriter, x: np.ndarray, bps: int, lpc_order: int = 0
+) -> None:
     """CONSTANT for flat blocks, VERBATIM for sub-4-sample blocks,
-    FIXED order-1 + Rice otherwise, at the given sample width (the
-    side channel of a decorrelated stereo pair is bps+1 wide)."""
+    LPC (fixture recipe) when lpc_order is set, FIXED order-1 + Rice
+    otherwise, at the given sample width (the side channel of a
+    decorrelated stereo pair is bps+1 wide). Trailing zero bits shared
+    by the whole block are emitted as wasted bits (spec §4.2.4)."""
     bs = len(x)
+    x = x.astype(np.int64)
+    # wasted bits: shared trailing zeros (arithmetic >> keeps sign;
+    # the decoder shifts back up)
+    wasted = 0
+    while (
+        wasted < bps - 1
+        and (x != 0).any()
+        and (x & 1 == 0).all()
+    ):
+        wasted += 1
+        x = x >> 1
+    eff = bps - wasted
+
+    def _header(stype: int) -> None:
+        w.write(0, 1)
+        w.write(stype, 6)
+        if wasted:
+            w.write(1, 1)
+            w.write_unary(wasted - 1)
+        else:
+            w.write(0, 1)
+
     if np.all(x == x[0]):
-        w.write(0, 1)
-        w.write(0, 6)   # CONSTANT
-        w.write(0, 1)
-        w.write(int(x[0]), bps)
+        _header(0)      # CONSTANT
+        w.write(int(x[0]), eff)
     elif bs < 4:
-        w.write(0, 1)
-        w.write(1, 6)   # VERBATIM
-        w.write(0, 1)
+        _header(1)      # VERBATIM
         for v in x:
-            w.write(int(v), bps)
+            w.write(int(v), eff)
+    elif lpc_order and bs > lpc_order and lpc_order in _LPC_COEFS:
+        coefs = _LPC_COEFS[lpc_order]
+        _header(0x20 | (lpc_order - 1))   # LPC
+        for v in x[:lpc_order]:
+            w.write(int(v), eff)          # warm-up
+        w.write(_LPC_PREC - 1, 4)
+        w.write(_LPC_SHIFT, 5)
+        for cf in coefs:
+            w.write(cf, _LPC_PREC)
+        res = [
+            int(x[i])
+            - (
+                sum(coefs[j] * int(x[i - 1 - j]) for j in range(lpc_order))
+                >> _LPC_SHIFT
+            )
+            for i in range(lpc_order, bs)
+        ]
+        _write_residual(w, np.array(res, dtype=np.int64), raw_bits=eff + 4)
     else:
-        w.write(0, 1)
-        w.write(0b001000 | 1, 6)  # FIXED order 1
-        w.write(0, 1)
-        w.write(int(x[0]), bps)   # warm-up
-        _write_residual(w, np.diff(x), raw_bits=bps + 2)
+        _header(0b001000 | 1)             # FIXED order 1
+        w.write(int(x[0]), eff)           # warm-up
+        _write_residual(w, np.diff(x), raw_bits=eff + 2)
 
 
 _STEREO_ASSIGN = {"left_side": 8, "right_side": 9, "mid_side": 10}
@@ -257,10 +307,13 @@ def encode_flac(
     rate: int = 8000,
     blocksize: int = 64,
     stereo_mode: str = "independent",
+    lpc_order: int = 0,
 ) -> bytes:
     """samples: int16 array shaped (n,) or (n, channels). Emits
     CONSTANT subframes for flat blocks, FIXED order-1 + Rice
-    otherwise. stereo_mode (2-channel input only): 'independent' or a
+    otherwise; lpc_order=2 switches non-trivial subframes to the LPC
+    fixture recipe (exercises the decoder path real encoders hit).
+    stereo_mode (2-channel input only): 'independent' or a
     decorrelation — 'left_side' / 'right_side' / 'mid_side' (the
     channel assignments real encoders emit; side = L - R at bps+1)."""
     s = np.asarray(samples, dtype=np.int16)
@@ -313,10 +366,12 @@ def encode_flac(
             else:  # mid_side: mid = (L+R)>>1 (floor), side = L-R
                 chans = [((left + right) >> 1, 16), (side, 17)]
             for x, bps in chans:
-                _write_subframe(w, x, bps)
+                _write_subframe(w, x, bps, lpc_order)
         else:
             for c in range(ch):
-                _write_subframe(w, blk[:, c].astype(np.int64), 16)
+                _write_subframe(
+                    w, blk[:, c].astype(np.int64), 16, lpc_order
+                )
         w.align()
         frame = bytes(head) + w.bytes()
         out += frame + struct.pack(">H", _crc16(frame))
@@ -472,18 +527,24 @@ def _decode_flac(data: bytes) -> dict:
             if r.read(1):
                 raise ValueError("flac: bad subframe padding bit")
             stype = r.read(6)
+            wasted = 0
             if r.read(1):
-                raise ValueError("flac: wasted bits outside the subset")
+                # wasted-bits: unary count-1 follows; samples are
+                # coded at bps - wasted and shifted back up after
+                wasted = r.read_unary() + 1
+                if wasted >= bps_c:
+                    raise ValueError("flac: wasted bits exceed bps")
+            eff_bps = bps_c - wasted
             if stype == 0:
-                blk[:, c] = r.read_signed(bps_c)
+                blk[:, c] = r.read_signed(eff_bps)
             elif stype == 1:
                 for i in range(bs):
-                    blk[i, c] = r.read_signed(bps_c)
+                    blk[i, c] = r.read_signed(eff_bps)
             elif 8 <= stype <= 12:
                 order = stype - 8
                 if order > bs:
                     raise ValueError("flac: order exceeds blocksize")
-                warm = [r.read_signed(bps_c) for _ in range(order)]
+                warm = [r.read_signed(eff_bps) for _ in range(order)]
                 res = _read_residual(r, bs, order)
                 sig = list(warm)
                 coefs = _FIXED_COEFS[order]
@@ -493,8 +554,32 @@ def _decode_flac(data: bytes) -> dict:
                     )
                     sig.append(res[i - order] + pred)
                 blk[:, c] = sig
+            elif stype >= 0x20:
+                # LPC subframe, order 1..32 — what real encoders emit
+                order = (stype & 0x1F) + 1
+                if order > bs:
+                    raise ValueError("flac: order exceeds blocksize")
+                warm = [r.read_signed(eff_bps) for _ in range(order)]
+                prec = r.read(4)
+                if prec == 0xF:
+                    raise ValueError("flac: invalid LPC precision")
+                prec += 1
+                shift = r.read(5)
+                if shift >= 16:  # 5-bit signed; negative is forbidden
+                    raise ValueError("flac: negative LPC shift")
+                coefs = [r.read_signed(prec) for _ in range(order)]
+                res = _read_residual(r, bs, order)
+                sig = list(warm)
+                for i in range(order, bs):
+                    pred = sum(
+                        coefs[j] * sig[i - 1 - j] for j in range(order)
+                    ) >> shift
+                    sig.append(res[i - order] + pred)
+                blk[:, c] = sig
             else:
-                raise ValueError("flac: LPC subframes outside the subset")
+                raise ValueError("flac: reserved subframe type")
+            if wasted:
+                blk[:, c] <<= wasted
         if decorr:
             # undo the decorrelation (RFC 9639 §4.2: side = L - R;
             # mid = (L+R)>>1 with the lost low bit recovered from the

@@ -139,3 +139,23 @@ def test_stereo_decorrelation_roundtrips():
         assert (d["samples"] == ext).all(), mode
     with pytest.raises(ValueError, match="2 channels"):
         encode_flac(np.zeros(10, dtype=np.int16), stereo_mode="mid_side")
+
+
+def test_lpc_and_wasted_bits_roundtrip():
+    """LPC subframes (the path real encoders emit most) and wasted-bits
+    coding roundtrip bit-exactly; LPC beats FIXED on smooth signals."""
+    rng = np.random.RandomState(5)
+    sig = (np.sin(np.arange(2000) / 6.0) * 9000
+           + rng.randint(-50, 50, 2000)).astype(np.int16)
+    b_fixed = encode_flac(sig, blocksize=256)
+    b_lpc = encode_flac(sig, blocksize=256, lpc_order=2)
+    d = decode_flac(b_lpc)
+    assert (d["samples"][:, 0] == sig).all()
+    assert len(b_lpc) < len(b_fixed)      # the LPC win on smooth audio
+    # wasted bits: all samples share 3 trailing zero bits
+    w8 = (np.arange(500) * 8 % 4096 - 2048).astype(np.int16)
+    assert (decode_flac(encode_flac(w8))["samples"][:, 0] == w8).all()
+    # LPC + stereo decorrelation + wasted bits compose
+    st = np.stack([w8, (w8 // 2) * 2], axis=1).astype(np.int16)
+    b = encode_flac(st, stereo_mode="mid_side", lpc_order=2)
+    assert (decode_flac(b)["samples"] == st).all()

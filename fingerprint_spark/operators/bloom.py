@@ -60,7 +60,7 @@ def bloom_build(
     _check_pow2_words(n_bits)
     key = F.col(key_col)
     pos = F.explode(F.array(*_positions(key, n_bits, k))).alias("__pos")
-    return (
+    words = (
         df.select(pos)
         .select(
             F.expr("__pos div 64").alias("word_idx"),
@@ -73,6 +73,15 @@ def bloom_build(
         .groupBy("word_idx")
         .agg(F.expr("bit_or(__mask)").alias("word"))
     )
+    # self-describing filter: a marker row at word_idx = -1 carries
+    # (n_bits, k) so bloom_probe can REFUSE a parameter mismatch —
+    # probing with different params than the build silently turns the
+    # zero-false-negative guarantee into false negatives
+    spark = df.sparkSession
+    marker = spark.createDataFrame(
+        [(-1, n_bits * 256 + k)], "word_idx bigint, word bigint"
+    )
+    return words.unionByName(marker)
 
 
 def bloom_probe(
@@ -86,8 +95,21 @@ def bloom_probe(
     """Tag every row with ``out_col`` (int 0/1): 1 iff all k bits are
     set — possibly-present (false positives possible at the configured
     rate, false negatives impossible). k broadcast joins on word_idx;
-    zero Exchange on the probe side."""
+    zero Exchange on the probe side. Refuses a filter built with
+    different (n_bits, k) than the probe's — a silent mismatch would
+    manufacture false negatives."""
     _check_pow2_words(n_bits)
+    meta = bloom.filter(F.col("word_idx") == -1).collect()  # driver-bounded: 1 row
+    if meta:
+        built = int(meta[0]["word"])
+        built_bits, built_k = built // 256, built % 256
+        if (built_bits, built_k) != (n_bits, k):
+            raise ValueError(
+                f"bloom parameter mismatch: filter built with "
+                f"n_bits={built_bits}, k={built_k}; probed with "
+                f"n_bits={n_bits}, k={k}"
+            )
+    bloom = bloom.filter(F.col("word_idx") >= 0)
     key = F.col(key_col)
     out = df
     hits = []

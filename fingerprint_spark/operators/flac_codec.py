@@ -337,16 +337,23 @@ def encode_flac(
     body = info.bytes() + raw_md5
     out += bytes([0x80]) + len(body).to_bytes(3, "big") + body  # last block
 
+    # mode validation outside the frame loop (an invalid mode must
+    # refuse even for empty input, with ValueError not KeyError)
+    decorr = stereo_mode != "independent"
+    if decorr:
+        if stereo_mode not in _STEREO_ASSIGN:
+            raise ValueError(
+                f"flac: unknown stereo_mode {stereo_mode!r} "
+                f"(independent|{'|'.join(sorted(_STEREO_ASSIGN))})"
+            )
+        if ch != 2:
+            raise ValueError("flac: stereo_mode needs 2 channels")
+        assign = _STEREO_ASSIGN[stereo_mode]
+    else:
+        assign = ch - 1
     for fi, start in enumerate(range(0, n, blocksize)):
         blk = s[start : start + blocksize]
         bs = len(blk)
-        decorr = stereo_mode != "independent"
-        if decorr:
-            if ch != 2:
-                raise ValueError("flac: stereo_mode needs 2 channels")
-            assign = _STEREO_ASSIGN[stereo_mode]
-        else:
-            assign = ch - 1
         head = bytearray()
         head += b"\xff\xf8"     # sync 11111111 111110, reserved 0, fixed
         head.append((0x7 << 4) | 0x0)  # blocksize: 16-bit-1 tail; rate: streaminfo
@@ -419,7 +426,10 @@ def decode_flac(data: bytes) -> dict:
     struct.error from corrupt bytes)."""
     try:
         return _decode_flac(data)
-    except (IndexError, struct.error, MemoryError) as e:
+    except (IndexError, struct.error, MemoryError, OverflowError) as e:
+        # OverflowError: a crafted LPC/escaped-residual stream can blow
+        # predictor values past int64 before the frame CRC-16 is even
+        # checked — still a corrupt-stream row outcome, not a crash
         raise ValueError(f"flac: truncated or corrupt stream ({e})") from None
 
 

@@ -262,7 +262,15 @@ def _ima_step_decode(pred: int, index: int, nibble: int) -> tuple[int, int]:
 def decode_wav_ima_adpcm(payload: bytes) -> dict:
     """IMA ADPCM WAV (mono, fmt tag 0x11) -> same dict shape as
     decode_wav plus the decoded int16 'samples' array. ValueError on
-    anything else (E_PARSE contract)."""
+    anything else (E_PARSE contract — truncated chunks must not
+    surface struct.error into the Spark task)."""
+    try:
+        return _decode_wav_ima_adpcm(payload)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"ima adpcm: truncated or corrupt ({e})") from None
+
+
+def _decode_wav_ima_adpcm(payload: bytes) -> dict:
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a wav: bad RIFF header")
     pos, fmt, data, fact = 12, None, None, None

@@ -22,8 +22,8 @@ def _urls(spark, lo, hi, prefix="https://h/"):
 def test_no_false_negatives_and_bounded_fp(spark):
     seen = _urls(spark, 0, 5000)
     bloom = bloom_build(seen, "url", N_BITS, K)
-    # every word has at most the filter's row budget
-    assert bloom.count() <= N_BITS // 64
+    # every word has at most the filter's row budget (+1 marker row)
+    assert bloom.count() <= N_BITS // 64 + 1
     # members: all 5000 must hit (false negatives are impossible)
     members = bloom_probe(seen, bloom, "url", N_BITS, K)
     assert members.filter("maybe_member = 0").count() == 0
@@ -74,3 +74,14 @@ def test_probe_plan_is_broadcast_only(spark):
 def test_bad_n_bits_refused(spark):
     with pytest.raises(ValueError, match="multiple of 64"):
         bloom_build(_urls(spark, 0, 1), n_bits=100)
+
+
+def test_parameter_mismatch_refused(spark):
+    """Review finding r4b: probing with different (n_bits, k) than the
+    build would silently manufacture false negatives — the filter is
+    self-describing and the probe refuses."""
+    bloom = bloom_build(_urls(spark, 0, 100), "url", N_BITS, K)
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        bloom_probe(_urls(spark, 0, 10), bloom, "url", N_BITS * 2, K)
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        bloom_probe(_urls(spark, 0, 10), bloom, "url", N_BITS, K + 1)

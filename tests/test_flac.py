@@ -159,3 +159,50 @@ def test_lpc_and_wasted_bits_roundtrip():
     st = np.stack([w8, (w8 // 2) * 2], axis=1).astype(np.int16)
     b = encode_flac(st, stereo_mode="mid_side", lpc_order=2)
     assert (decode_flac(b)["samples"] == st).all()
+
+
+def test_crafted_lpc_overflow_stays_valueerror():
+    """Review finding r4b: a crafted LPC stream that blows the
+    predictor past int64 must be a ValueError row outcome, not an
+    OverflowError task crash; bad stereo_mode is ValueError even on
+    empty input."""
+    from fingerprint_spark.operators.flac_codec import (
+        _BitWriter, _crc8, _crc16, _utf8_coded,
+    )
+    import struct as _struct
+
+    # valid STREAMINFO for 64 samples mono
+    import numpy as np_
+    base = encode_flac(np_.zeros(64, dtype=np_.int16))
+    head_end = 8 + 34   # fLaC + block header + STREAMINFO
+    stream = bytearray(base[:head_end])
+    # frame header: blocksize 16-bit form, rate streaminfo, mono, 16bps
+    h = bytearray(b"\xff\xf8")
+    h.append((0x7 << 4) | 0x0)
+    h.append((0 << 4) | (0x4 << 1) | 0)
+    h += _utf8_coded(0)
+    h += _struct.pack(">H", 63)
+    h.append(_crc8(bytes(h)))
+    w = _BitWriter()
+    w.write(0, 1)
+    w.write(0x20 | 31, 6)   # LPC order 32
+    w.write(0, 1)
+    for _ in range(32):
+        w.write(30000, 16)  # big warm-up
+    w.write(14, 4)          # precision 15
+    w.write(0, 5)           # shift 0
+    for _ in range(32):
+        w.write(16383, 15)  # huge positive coefs
+    w.write(0, 2)           # rice, 4-bit params
+    w.write(0, 4)           # partition order 0
+    w.write(0xF, 4)         # escape
+    w.write(20, 5)          # raw 20-bit residuals
+    for _ in range(64 - 32):
+        w.write(0, 20)
+    w.align()
+    frame = bytes(h) + w.bytes()
+    stream += frame + _struct.pack(">H", _crc16(frame))
+    with pytest.raises(ValueError):
+        decode_flac(bytes(stream))
+    with pytest.raises(ValueError, match="stereo_mode"):
+        encode_flac(np.zeros((0, 2), dtype=np.int16), stereo_mode="mid-side")

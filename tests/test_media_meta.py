@@ -225,3 +225,23 @@ def test_ima_adpcm_wav_roundtrip_and_dispatch():
                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
                    + b"data" + struct.pack("<I", 0))
         decode_wav_ima_adpcm(payload)
+
+
+def test_adpcm_truncated_chunks_stay_valueerror():
+    """Review finding r4b: a truncated fmt/fact chunk must surface as
+    ValueError (E_PARSE), never struct.error into the Spark task."""
+    import struct
+
+    import pytest
+
+    from fingerprint_spark.operators.media_codecs import (
+        decode_wav, decode_wav_ima_adpcm,
+    )
+
+    short_fmt = (b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+                 + b"fmt " + struct.pack("<I", 6) + b"\x11\x00\x01\x00\x40\x1f"
+                 + b"data" + struct.pack("<I", 0))
+    with pytest.raises(ValueError):
+        decode_wav_ima_adpcm(short_fmt)
+    with pytest.raises(ValueError):
+        decode_wav(short_fmt)

@@ -403,6 +403,54 @@ def run_decontam13(cores: str) -> dict:
     return out
 
 
+def run_bloom(cores: str) -> dict:
+    """Bloom frontier-dedup leg (round 4): build a 2^26-bit filter over
+    the 120k-doc scaling corpus urls, probe the same 120k (all hits)
+    plus 120k fresh urls (fp measurement) — times the DataFrame-native
+    build fold and the zero-shuffle broadcast probe."""
+    from pyspark.sql import functions as F
+
+    from fingerprint_spark.operators.bloom import bloom_build, bloom_probe
+    from fingerprint_spark.session import get_spark
+
+    _ensure_scaling_corpus()
+    n_bits, k = 1 << 26, 5
+    spark = get_spark("fingerprint_spark_bloom", cores=cores)
+    urls = spark.read.parquet(SCALING_CORPUS).select("url")
+    n_docs = urls.count()
+    fresh = urls.select(F.concat(F.lit("x://new/"), "url").alias("url"))
+    out = {"metric": "bloom_frontier", "unit": "sec", "n_docs": n_docs,
+           "n_bits": n_bits, "k": k, "cores": cores}
+    best_b = best_p = float("inf")
+    fp = members_missed = None
+    for i in range(3):  # run0 = warm-up; min-of-2
+        t0 = time.perf_counter()
+        bloom = bloom_build(urls, "url", n_bits, k)
+        bloom = bloom.persist()
+        bloom.count()
+        dt = time.perf_counter() - t0
+        if i > 0:
+            best_b = min(best_b, dt)
+        t0 = time.perf_counter()
+        members_missed = bloom_probe(urls, bloom, "url", n_bits, k).filter(
+            "maybe_member = 0"
+        ).count()
+        fp = bloom_probe(fresh, bloom, "url", n_bits, k).filter(
+            "maybe_member = 1"
+        ).count()
+        dt = time.perf_counter() - t0
+        if i > 0:
+            best_p = min(best_p, dt)
+        bloom.unpersist()
+    out["sec_build"] = round(best_b, 3)
+    out["sec_probe_2x"] = round(best_p, 3)
+    out["false_negatives"] = members_missed
+    out["false_positives_of_120k"] = fp
+    out["value"] = out["sec_build"] + out["sec_probe_2x"]
+    spark.stop()
+    return out
+
+
 def run_skew_join(n_docs: int = SCALING_DOCS) -> dict:
     """Deliberately skewed-host join at stress size: ~25% of the corpus
     shares one host (corpus.py HOSTS[0]); join docs to a per-host rule
@@ -487,6 +535,8 @@ def main() -> None:
                     help=argparse.SUPPRESS)
     ap.add_argument("--decontam13", action="store_true",
                     help="n=13 decontamination leg, both join strategies")
+    ap.add_argument("--bloom", action="store_true",
+                    help="bloom frontier-dedup build+probe leg")
     ap.add_argument("--corpus-curate", default=None,
                     help=argparse.SUPPRESS)
     ap.add_argument("--corpus-pipeline", default=None,
@@ -520,6 +570,9 @@ def main() -> None:
         return
     if args.decontam13:
         print(json.dumps(run_decontam13(str(args.cores))))
+        return
+    if args.bloom:
+        print(json.dumps(run_bloom(str(args.cores))))
         return
     if args.corpus_pipeline:
         print(json.dumps(run_corpus_pipeline(str(args.cores), args.corpus_pipeline)))

@@ -85,3 +85,40 @@ def test_parameter_mismatch_refused(spark):
         bloom_probe(_urls(spark, 0, 10), bloom, "url", N_BITS * 2, K)
     with pytest.raises(ValueError, match="parameter mismatch"):
         bloom_probe(_urls(spark, 0, 10), bloom, "url", N_BITS, K + 1)
+
+
+def test_bloom_probe_works_on_a_stream(spark, tmp_path):
+    """The crawl-frontier shape: a STREAM of discovered URLs probed
+    against a static snapshot filter — stream-static broadcast joins
+    are supported by Structured Streaming, so bloom_probe composes
+    with readStream unchanged (stateless: no watermark, no state
+    store)."""
+    seen = _urls(spark, 0, 1000)
+    bloom = bloom_build(seen, "url", N_BITS, K).persist()
+    bloom.count()
+
+    src = str(tmp_path / "src")
+    _urls(spark, 500, 1500).coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("url string").parquet(src)
+    )
+    probed = bloom_probe(stream, bloom, "url", N_BITS, K)
+    q = (
+        probed.filter("maybe_member = 0")
+        .writeStream.format("memory")
+        .queryName("frontier")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        assert q.awaitTermination(240)
+    finally:
+        q.stop()
+    got = {r["url"] for r in spark.sql("SELECT * FROM frontier").collect()}
+    # streaming emits exactly the unseen tail (no FN; FP may only
+    # shrink it, not grow it)
+    assert all(int(u.rsplit("/", 1)[1]) >= 1000 for u in got)
+    assert len(got) >= 495
+    bloom.unpersist()

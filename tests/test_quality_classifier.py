@@ -1,0 +1,82 @@
+"""Trainable quality classifier (operators/quality_classifier.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fingerprint_spark.operators.quality_classifier import (
+    hashed_features_col,
+    quality_score,
+    train_quality_logreg,
+)
+
+GOOD_VOCAB = ("analysis method results evidence chapter theory careful "
+              "study detailed discussion conclusion review").split()
+SPAM_VOCAB = ("buy click free winner casino pills cheap offer now "
+              "limited deal prize").split()
+
+
+def _labeled(spark, n=200):
+    rows = []
+    for i in range(n):
+        vocab = GOOD_VOCAB if i % 2 == 0 else SPAM_VOCAB
+        words = [vocab[(i * 7 + j) % len(vocab)] for j in range(20)]
+        rows.append((i, " ".join(words), 1 if i % 2 == 0 else 0))
+    return spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+
+def test_train_separable_and_score(spark):
+    df = _labeled(spark)
+    model = train_quality_logreg(df, dim=1024, epochs=8, lr=2.0)
+    assert model["dim"] == 1024 and len(model["weights"]) <= 1024
+    scored = quality_score(df, model)
+    acc = scored.filter(
+        ((F.col("quality_prob") > 0.5).cast("int") == F.col("label"))
+    ).count() / df.count()
+    assert acc >= 0.98, acc
+    # probabilities are actually separated, not borderline
+    means = scored.groupBy("label").agg(
+        F.avg("quality_prob").alias("p")
+    ).collect()
+    p = {r["label"]: r["p"] for r in means}
+    assert p[1] > 0.8 and p[0] < 0.2
+
+
+def test_inference_plan_zero_shuffle_zero_python(spark):
+    df = _labeled(spark, 50)
+    model = train_quality_logreg(df, dim=256, epochs=2)
+    plan = (
+        quality_score(df, model)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hashed_features_deterministic_and_bounded(spark):
+    row = spark.range(1).select(
+        hashed_features_col(F.lit("the quick the quick fox"), 64).alias("f")
+    ).head()
+    assert len(row["f"]) == 3            # distinct words only
+    assert all(0 <= v < 64 for v in row["f"])
+
+
+def test_empty_training_set_refused(spark):
+    df = _labeled(spark, 4).filter("doc_id < 0")
+    with pytest.raises(ValueError, match="empty training set"):
+        train_quality_logreg(df)
+
+
+def test_generalizes_to_unseen_mixtures(spark):
+    """Held-out docs mixing vocab lean the right way."""
+    model = train_quality_logreg(_labeled(spark), dim=1024, epochs=8)
+    test = spark.createDataFrame(
+        [
+            ("mostly_good", " ".join(GOOD_VOCAB * 2 + SPAM_VOCAB[:2])),
+            ("mostly_spam", " ".join(SPAM_VOCAB * 2 + GOOD_VOCAB[:2])),
+        ],
+        "k string, text string",
+    )
+    got = {r["k"]: r["quality_prob"]
+           for r in quality_score(test, model).collect()}
+    assert got["mostly_good"] > 0.5 > got["mostly_spam"]

@@ -55,13 +55,17 @@ class _SegmentParser(HTMLParser):
         self._links = 0
         self._in_a = 0
         self._skip = 0
-        self._heading = 0
+        self._heading = False
 
     def _flush(self):
         text = " ".join("".join(self._buf).split())
         if text:
-            self.blocks.append((text, self._links, self._heading > 0))
+            self.blocks.append((text, self._links, self._heading))
         self._buf, self._links = [], 0
+        # the heading flag belongs to the block just emitted; any
+        # block boundary ends it — an UNCLOSED <h2> in dirty crawl
+        # html must not mark every later block as a heading
+        self._heading = False
 
     def handle_starttag(self, tag, attrs):
         if tag in _SKIP_TAGS:
@@ -71,7 +75,7 @@ class _SegmentParser(HTMLParser):
         elif tag in _BLOCK_TAGS:
             self._flush()
             if tag in _HEADING_TAGS:
-                self._heading += 1
+                self._heading = True
 
     def handle_endtag(self, tag):
         if tag in _SKIP_TAGS:
@@ -80,8 +84,6 @@ class _SegmentParser(HTMLParser):
             self._in_a = max(0, self._in_a - 1)
         elif tag in _BLOCK_TAGS:
             self._flush()
-            if tag in _HEADING_TAGS:
-                self._heading = max(0, self._heading - 1)
 
     def handle_data(self, data):
         if self._skip:

@@ -77,3 +77,20 @@ def test_spark_operator_end_to_end(spark):
     plan = strip_boilerplate(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert plan.count("Exchange") == 0
+
+
+def test_unclosed_heading_does_not_leak():
+    """Review finding r4c: dirty crawl html with an unclosed <h2> must
+    not mark every later block as a heading (which flips their context
+    window to forward-only)."""
+    html = ("<h2>Title"
+            "<p>This long paragraph is genuine article content with the "
+            "usual function words that real prose has in it, kept.</p>"
+            "<p>short tail</p>")
+    blocks = segment_blocks(html)
+    flags = {b["text"][:10]: b["is_heading"] for b in blocks}
+    assert flags["Title"] is True
+    assert all(v is False for k, v in flags.items() if k != "Title")
+    # the short tail adopts BACKWARD from the good paragraph
+    out = strip_boilerplate_py(html)
+    assert "short tail" in out["main_text"]

@@ -80,3 +80,16 @@ def test_generalizes_to_unseen_mixtures(spark):
     got = {r["k"]: r["quality_prob"]
            for r in quality_score(test, model).collect()}
     assert got["mostly_good"] > 0.5 > got["mostly_spam"]
+
+
+def test_null_text_scores_bias_like_training(spark):
+    """Review finding r4c: NULL text must score sigmoid(bias) exactly
+    like the empty doc, not a silently row-dropping NULL."""
+    model = train_quality_logreg(_labeled(spark, 50), dim=256, epochs=2)
+    df = spark.createDataFrame(
+        [("null", None), ("empty", "")], "k string, text string"
+    )
+    got = {r["k"]: r["quality_prob"]
+           for r in quality_score(df, model).collect()}
+    assert got["null"] is not None
+    assert got["null"] == got["empty"]

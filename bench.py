@@ -451,6 +451,101 @@ def run_bloom(cores: str) -> dict:
     return out
 
 
+def run_bloom_sharded(cores: str) -> dict:
+    """Beyond-broadcast bloom leg (round 5, VERDICT r4 #1 + #6):
+    n_bits=2^32 puts the worst-case word table at 1 GiB — past the
+    64 MiB broadcast cap — so the auto guard picks the sharded
+    co-partitioned join (the 10^12-url regime's plan; at test scale
+    the table is sparse, but the guard keys on declared capacity as it
+    must at plan time). Also times bloom_merge of a 10k-url delta vs a
+    full rebuild: merge cost must scale with the delta + filter rows,
+    not the corpus."""
+    from pyspark.sql import functions as F
+
+    from fingerprint_spark.operators.bloom import (
+        _bloom_strategy, bloom_build, bloom_merge, bloom_probe,
+    )
+    from fingerprint_spark.session import get_spark
+
+    _ensure_scaling_corpus()
+    n_bits, k = 1 << 32, 5
+    spark = get_spark("fingerprint_spark_bloom_sharded", cores=cores)
+    urls = spark.read.parquet(SCALING_CORPUS).select("url")
+    n_docs = urls.count()
+    fresh = urls.select(F.concat(F.lit("x://new/"), "url").alias("url"))
+    out = {"metric": "bloom_sharded", "unit": "sec", "n_docs": n_docs,
+           "n_bits": n_bits, "k": k, "cores": cores,
+           "auto_strategy": _bloom_strategy(n_bits)}
+    bloom = bloom_build(urls, "url", n_bits, k).persist()
+    bloom.count()
+    best = {"sharded": float("inf"), "broadcast": float("inf")}
+    fn = fp = None
+    for strat in ("sharded", "broadcast"):
+        for i in range(3):  # run0 warm-up; min-of-2
+            t0 = time.perf_counter()
+            fn = bloom_probe(urls, bloom, "url", n_bits, k,
+                             strategy=strat).filter(
+                "maybe_member = 0").count()
+            fp = bloom_probe(fresh, bloom, "url", n_bits, k,
+                             strategy=strat).filter(
+                "maybe_member = 1").count()
+            dt = time.perf_counter() - t0
+            if i > 0:
+                best[strat] = min(best[strat], dt)
+        out[f"sec_probe_2x_{strat}"] = round(best[strat], 3)
+    out["false_negatives"] = fn
+    out["false_positives_of_120k"] = fp
+    bloom.unpersist()
+    # incremental maintenance (VERDICT r4 #6), modeled as the REAL
+    # cycle: filter(k) lives in a snapshot table, cycle k+1 reads the
+    # filter (262k (int,int64) rows at 2^24 bits) and merges only its
+    # 10k-url delta, while a rebuild must re-scan the ENTIRE 10M-url
+    # corpus from parquet and re-explode 50M positions. Merge cost
+    # scales with |filter| + k|delta|; rebuild with k|corpus|.
+    import shutil
+    import tempfile
+
+    mb_bits = 1 << 24
+    corpus_path = "/tmp/fingerprint_spark_bloom_merge_corpus.parquet"
+    if not os.path.exists(corpus_path):
+        spark.range(10_000_000).select(
+            F.concat(F.lit("https://frontier.example/p/"),
+                     F.md5(F.col("id").cast("string")),
+                     F.lit("/"), "id").alias("url")
+        ).repartition(32).write.parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+    delta = spark.range(10_000_000, 10_010_000).select(
+        F.concat(F.lit("https://frontier.example/p/"), "id").alias("url"))
+    from fingerprint_spark.snapshots import commit_snapshot, read_snapshot
+
+    snap_dir = tempfile.mkdtemp(prefix="bloom_filter_snap_")
+    try:
+        tbl = os.path.join(snap_dir, "frontier_filter")
+        commit_snapshot(bloom_build(corpus, "url", mb_bits, k), tbl)
+        filt = read_snapshot(spark, tbl)
+        best_m = best_r = float("inf")
+        for i in range(3):
+            t0 = time.perf_counter()
+            bloom_merge(filt, delta, "url", mb_bits, k).count()
+            dt = time.perf_counter() - t0
+            if i > 0:
+                best_m = min(best_m, dt)
+            t0 = time.perf_counter()
+            bloom_build(corpus.unionAll(delta), "url", mb_bits, k).count()
+            dt = time.perf_counter() - t0
+            if i > 0:
+                best_r = min(best_r, dt)
+    finally:
+        shutil.rmtree(snap_dir, ignore_errors=True)
+    out["merge_corpus"] = 10_000_000
+    out["merge_n_bits"] = mb_bits
+    out["sec_merge_10k_delta"] = round(best_m, 3)
+    out["sec_rebuild_full"] = round(best_r, 3)
+    out["value"] = out["sec_probe_2x_sharded"]
+    spark.stop()
+    return out
+
+
 def run_skew_join(n_docs: int = SCALING_DOCS) -> dict:
     """Deliberately skewed-host join at stress size: ~25% of the corpus
     shares one host (corpus.py HOSTS[0]); join docs to a per-host rule
@@ -537,6 +632,9 @@ def main() -> None:
                     help="n=13 decontamination leg, both join strategies")
     ap.add_argument("--bloom", action="store_true",
                     help="bloom frontier-dedup build+probe leg")
+    ap.add_argument("--bloom-sharded", action="store_true",
+                    help="beyond-broadcast bloom probe (2^32 bits, "
+                         "sharded vs broadcast) + merge-vs-rebuild leg")
     ap.add_argument("--corpus-curate", default=None,
                     help=argparse.SUPPRESS)
     ap.add_argument("--corpus-pipeline", default=None,
@@ -573,6 +671,9 @@ def main() -> None:
         return
     if args.bloom:
         print(json.dumps(run_bloom(str(args.cores))))
+        return
+    if args.bloom_sharded:
+        print(json.dumps(run_bloom_sharded(str(args.cores))))
         return
     if args.corpus_pipeline:
         print(json.dumps(run_corpus_pipeline(str(args.cores), args.corpus_pipeline)))

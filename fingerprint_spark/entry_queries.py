@@ -492,7 +492,12 @@ def q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         sketch_words_col,
     )
 
-    df = _doc(spark, sf_dir).select("doc_id", "text")
+    # NULL text must behave exactly like empty text on BOTH paths (the
+    # Column path's split/array_join would propagate NULL while the
+    # md5 UDF hashes the empty shingle — ADVICE r4 asymmetry)
+    df = _doc(spark, sf_dir).select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
     # the test parquet is one small file -> one input split; fan out so
     # the per-shingle digests use every core (at 100 TB the scan yields
     # thousands of splits and this repartition is unnecessary — same
@@ -538,8 +543,9 @@ def sql_sketches() -> str:
     return f"""
 WITH base AS (
   SELECT doc_id,
-    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
-                w -> w <> '') AS ws
+    list_filter(
+      regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'),
+      w -> w <> '') AS ws
   FROM documents
 ), shingled AS (
   SELECT doc_id, CASE WHEN len(ws) >= 3 THEN

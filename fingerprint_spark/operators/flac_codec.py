@@ -464,15 +464,18 @@ def _decode_flac(data: bytes) -> dict:
     rate, ch, bps, total, md5 = info
     if bps != 16:
         raise ValueError("flac: subset supports 16-bit samples only")
-    # sanity-bound the 36-bit total-samples field against the payload:
-    # FLAC's worst case is ~17 bits per 16-bit sample (VERBATIM +
-    # framing), so decoded size can't exceed ~9x the stream size — a
-    # corrupt/malicious header must not drive a huge allocation
-    # (MemoryError would escape the E_PARSE contract)
-    if total * ch * 2 > 16 * max(len(data), 1):
+    # bound the 36-bit total-samples allocation ABSOLUTELY, not against
+    # the stream size: silence/CONSTANT-heavy audio at real-encoder
+    # blocksizes legitimately compresses far beyond any fixed ratio, so
+    # a ratio bound would reject valid highly-compressible streams. A
+    # corrupt/malicious header still can't drive a huge allocation
+    # (MemoryError would escape the E_PARSE contract): cap the decoded
+    # buffer at 1 GiB — far above any crawl audio payload this engine
+    # ingests per row.
+    if total * ch * 2 > 1 << 30:
         raise ValueError(
-            f"flac: total_samples {total} inconsistent with "
-            f"{len(data)}-byte stream"
+            f"flac: total_samples {total} x {ch}ch exceeds the 1 GiB "
+            "decode-buffer cap"
         )
 
     out = np.zeros((total, ch), dtype=np.int32)

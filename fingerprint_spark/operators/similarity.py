@@ -18,11 +18,25 @@ path.
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import _cosine
 from .topk import ranked_topk
+
+
+def _round_half_up(x: float, dp: int) -> float:
+    """Driver-side rounding in the SAME mode as Spark F.round and
+    DuckDB round (HALF_UP) — Python's round() is half-to-even, so an
+    exact half at the (dp+1)th decimal would diverge engines (ADVICE
+    r4; practically unreachable for float dots, pinned anyway)."""
+    return float(
+        Decimal(repr(x)).quantize(
+            Decimal(1).scaleb(-dp), rounding=ROUND_HALF_UP
+        )
+    )
 
 
 def _as_double_array(vec: list[float]) -> Column:
@@ -224,7 +238,7 @@ def kmeans_centroids(
                 # last ulp differs run-to-run / engine-to-engine, and
                 # an UNROUNDED centroid feeding rounded cosines leaves
                 # a (tiny) boundary-flip risk; rounding here pins it
-                m = round(m, round_dp)
+                m = _round_half_up(m, round_dp)
             new[r["cell"]][r["dim"]] = m
             seen.add(r["cell"])
         cents = [
@@ -250,7 +264,7 @@ def ivf_topk(
 
     def _dot(c):
         d = sum(float(a) * b for a, b in zip(c, query_vec))
-        return round(d, round_dp) if round_dp is not None else d
+        return _round_half_up(d, round_dp) if round_dp is not None else d
 
     sims = sorted(
         ((_dot(c), i) for i, c in enumerate(centroids)),

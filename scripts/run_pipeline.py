@@ -418,7 +418,13 @@ def _curate_mode(argv: list[str]) -> int:
 
         sval = opts["input_snapshot"]
         sid = None if sval in ("", "current") else int(sval)
-        manifest = load_manifest(paths[0], sid)
+        try:
+            manifest = load_manifest(paths[0], sid)
+        except FileNotFoundError as e:
+            # clean CLI contract (ADVICE r4): a non-snapshot path must
+            # not surface a raw traceback
+            print(f"error: --input-snapshot: {e}", file=sys.stderr)
+            return 2
         df = read_snapshot(spark, paths[0], manifest["snapshot_id"])
         witness_read(paths[0], manifest, tool="curate")
     else:

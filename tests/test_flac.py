@@ -67,7 +67,7 @@ def test_corruption_and_subset_refusals():
     # BEFORE allocation, not surface as MemoryError (review finding)
     bad3 = bytearray(b)
     bad3[8 + 14 : 8 + 18] = b"\xff\xff\xff\xff"
-    with pytest.raises(ValueError, match="inconsistent"):
+    with pytest.raises(ValueError, match="cap"):
         decode_flac(bytes(bad3))
 
 
@@ -206,3 +206,15 @@ def test_crafted_lpc_overflow_stays_valueerror():
         decode_flac(bytes(stream))
     with pytest.raises(ValueError, match="stereo_mode"):
         encode_flac(np.zeros((0, 2), dtype=np.int16), stereo_mode="mid-side")
+
+
+def test_highly_compressible_silence_decodes():
+    # ADVICE r4: the old ratio bound (decoded > 16x stream) refused
+    # legitimate CONSTANT-heavy audio — 64k silent samples at a real
+    # encoder blocksize compress far beyond 16x and must still decode
+    sig = np.zeros(65536, dtype=np.int16)
+    enc = encode_flac(sig, rate=44100, blocksize=4096)
+    assert len(enc) * 16 < sig.nbytes  # genuinely beyond the old bound
+    d = decode_flac(enc)
+    assert d["samples"].shape == (65536, 1)
+    assert not d["samples"].any()

@@ -111,6 +111,7 @@ def test_winnow_sketches_parity_on_adversarial_docs(spark, tmp_path):
         (1, "alpha beta gamma delta words here now", "s0", "en"),
         (2, "", "s1", "en"),                            # empty
         (3, "a perfectly ordinary document with words", "s1", "en"),
+        (4, None, "s1", "en"),                          # NULL text (ADVICE r4)
     ]
     d = str(tmp_path / "documents.parquet")
     spark.createDataFrame(
@@ -128,7 +129,7 @@ def test_winnow_sketches_parity_on_adversarial_docs(spark, tmp_path):
         res = con.execute(entry_mod.oracle_sql()[name])
         duck_cols = [c[0] for c in res.description]
         duck_rows = res.fetchall()
-        assert len(spark_rows) == len(duck_rows) == 4, name
+        assert len(spark_rows) == len(duck_rows) == 5, name
         a = _rowset(spark_rows, sdf.columns)
         b = _rowset(duck_rows, duck_cols)
         assert a == b, (name, a, b)

@@ -185,3 +185,30 @@ def test_remote_scheme_refused(spark):
         commit_snapshot(_corpus(spark, 0, 3), "s3a://bucket/tbl")
     with pytest.raises(ValueError, match="local-filesystem only"):
         list_snapshots("hdfs://nn/tbl")
+
+
+def test_curate_cli_bad_snapshot_path_clean_error(spark, tmp_path, capsys):
+    """ADVICE r4: --input-snapshot against a non-snapshot path must
+    surface the CLI's clean one-line error contract (rc=2), not a raw
+    FileNotFoundError traceback."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "run_pipeline_mod_err",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "run_pipeline.py"),
+    )
+    rp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rp)
+
+    not_a_table = str(tmp_path / "plain_dir")
+    os.makedirs(not_a_table)
+    rc = rp._curate_mode([
+        "curate", not_a_table,
+        "--input-snapshot", "current",
+        "--output", str(tmp_path / "out"),
+    ])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "error: --input-snapshot" in err
+    assert "Traceback" not in err

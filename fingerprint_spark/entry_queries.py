@@ -611,8 +611,11 @@ def q_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_QUERIES = {
+    # lang_distribution was retired from the driver registry for the
+    # 50-row budget when quality_score took the hard signal (round 5):
+    # it is a strict groupBy projection of langid's oracle logic,
+    # pinned to langid by test_lang_distribution_is_langid_projection
     "langid": (q_langid, sql_langid),
-    "lang_distribution": (q_lang_distribution, sql_lang_distribution),
     "gopher": (q_gopher, sql_gopher),
     "pipeline_keep": (q_pipeline_keep, sql_pipeline_keep),
     "scrub": (q_scrub, sql_scrub),
@@ -709,6 +712,76 @@ ORACLE_QUERIES.update({"winnow": (q_winnow, sql_winnow)})
 
 
 ORACLE_QUERIES.update({"sketches": (q_sketches, sql_sketches)})
+
+
+_CLF_DIM, _CLF_EPOCHS, _CLF_LR, _CLF_GRAD_DP = 512, 8, 2.0, 6
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable quality classifier under the HARD oracle signal
+    (round-5 VERDICT #3): train the DataFrame-native logreg on the
+    fixed in-code labeled fixture (md5-portable feature hasher,
+    per-epoch HALF_UP gradient rounding -> weights bit-identical to
+    the pure-Python twin, pinned by pytest), then run the zero-shuffle
+    dense-literal inference over documents. The oracle retrains with
+    the Python twin and recomputes the sigmoid margin in DuckDB with
+    the dense weight array as a SQL literal. Reference analog:
+    heuristic scoring fold, src/pipeline/enricher.rs:470-499."""
+    from .operators.quality_classifier import (
+        QUALITY_TRAIN_FIXTURE,
+        quality_score,
+        train_quality_logreg,
+    )
+
+    train = spark.createDataFrame(
+        QUALITY_TRAIN_FIXTURE, "text string, label int"
+    )
+    model = train_quality_logreg(
+        train, dim=_CLF_DIM, epochs=_CLF_EPOCHS, lr=_CLF_LR,
+        hasher="md5", grad_round_dp=_CLF_GRAD_DP,
+    )
+    df = _doc(spark, sf_dir).select("doc_id", "text")
+    scored = quality_score(df, model, hasher="md5")
+    return scored.select(
+        "doc_id", F.round("quality_prob", 6).alias("quality_prob")
+    )
+
+
+def sql_quality_score() -> str:
+    from .operators.quality_classifier import (
+        QUALITY_TRAIN_FIXTURE,
+        train_quality_logreg_py,
+    )
+
+    model = train_quality_logreg_py(
+        QUALITY_TRAIN_FIXTURE, dim=_CLF_DIM, epochs=_CLF_EPOCHS,
+        lr=_CLF_LR, grad_round_dp=_CLF_GRAD_DP,
+    )
+    dense = [0.0] * _CLF_DIM
+    for i, wv in model["weights"].items():
+        dense[int(i)] = float(wv)
+    arr = "[" + ", ".join(repr(v) for v in dense) + "]"
+    return f"""
+WITH w AS (SELECT {arr}::DOUBLE[] AS warr),
+feats AS (
+  SELECT doc_id,
+    list_distinct([
+      ('0x' || substr(md5('f:' || x), 1, 15))::bigint % {_CLF_DIM}
+      FOR x IN list_filter(
+        regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'),
+        t -> t <> '')
+    ]) AS f
+  FROM documents
+)
+SELECT doc_id,
+  round(1.0 / (1.0 + exp(-({model["bias"]!r}
+    + coalesce(list_sum(list_transform(f, i -> warr[(i + 1)::int])), 0.0)
+  ))), 6) AS quality_prob
+FROM feats, w
+"""
+
+
+ORACLE_QUERIES.update({"quality_score": (q_quality_score, sql_quality_score)})
 
 
 # html_pipeline is the one genuinely non-SQL-expressible query left

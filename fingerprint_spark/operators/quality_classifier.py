@@ -33,6 +33,79 @@ from pyspark.sql import functions as F
 
 _BIAS_IDX = -1  # the bias is feature -1 on every document
 
+#: fixture-scale labeled set for the oracle-checked classifier row
+#: (GPT-3 App. A shape: reference-quality prose = 1, spam/boilerplate
+#: soup = 0). A FIXED in-code constant so the Spark trainer, the
+#: pure-Python twin, and the DuckDB oracle all see byte-identical
+#: training data without a side channel. ASCII only (the tokenizer
+#: contract is ASCII-\s).
+QUALITY_TRAIN_FIXTURE: list[tuple[str, int]] = [
+    ("the committee published its findings after a careful review of "
+     "the evidence and recommended three policy changes", 1),
+    ("researchers at the university demonstrated that the new method "
+     "improves accuracy while reducing the computation required", 1),
+    ("the novel follows a young engineer who returns to her home town "
+     "and discovers a long buried family secret", 1),
+    ("in this tutorial we will walk through the steps needed to "
+     "configure the server and deploy your first application", 1),
+    ("the city council voted to expand the public transit network "
+     "citing growing demand and traffic congestion", 1),
+    ("a balanced diet and regular exercise remain the most reliable "
+     "foundation for long term health according to physicians", 1),
+    ("the documentary examines how small farming communities adapted "
+     "to changing weather patterns over the last decade", 1),
+    ("historians continue to debate the economic causes of the "
+     "collapse and the role played by trade disruptions", 1),
+    ("the orchestra opened the season with a spirited performance "
+     "that drew a standing ovation from the audience", 1),
+    ("this article explains the difference between the two protocols "
+     "and when each one is the appropriate choice", 1),
+    ("engineers tested the bridge design under simulated load and "
+     "found the margins comfortably within specification", 1),
+    ("the museum announced a new exhibition exploring the craft of "
+     "early printing and the spread of literacy", 1),
+    ("students who practice retrieval while studying retain far more "
+     "than those who simply reread their notes", 1),
+    ("the recipe calls for slow roasting the vegetables until they "
+     "caramelize which deepens the flavor considerably", 1),
+    ("after months of negotiation the two companies agreed to merge "
+     "their logistics operations into a single network", 1),
+    ("the park service restored the wetland habitat and native bird "
+     "populations recovered within a few seasons", 1),
+    ("buy cheap pills now best price discount discount click here "
+     "click here limited offer act now", 0),
+    ("casino bonus free spins win win win jackpot deposit now bonus "
+     "code bonus code no deposit", 0),
+    ("cheap replica watches cheap replica watches free shipping free "
+     "shipping order order order", 0),
+    ("viewers like subscribe like subscribe smash that bell icon "
+     "giveaway giveaway follow follow follow", 0),
+    ("lorem ipsum dolor sit amet lorem ipsum dolor sit amet lorem "
+     "ipsum dolor sit amet", 0),
+    ("home about contact privacy terms sitemap login register cart "
+     "checkout home about contact", 0),
+    ("xxx hot singles in your area click meet now xxx hot singles "
+     "click click", 0),
+    ("make money fast work from home earn cash now no experience "
+     "needed make money fast", 0),
+    ("keyword1 keyword2 keyword3 best seo ranking backlinks cheap "
+     "traffic guaranteed ranking ranking", 0),
+    ("404 page not found error error error page not found click to "
+     "continue click to continue", 0),
+    ("weight loss miracle pill doctors hate this trick lose pounds "
+     "fast guaranteed results order today", 0),
+    ("congratulations you have won a prize claim your prize now "
+     "enter your details claim claim", 0),
+    ("cookie policy accept cookies we use cookies accept all manage "
+     "preferences cookie settings accept", 0),
+    ("crypto pump signal join telegram channel moon soon 100x gains "
+     "guaranteed join join join", 0),
+    ("copyright all rights reserved terms of use privacy policy "
+     "powered by powered by powered by", 0),
+    ("sale sale sale buy one get one free today only huge discount "
+     "clearance everything must go", 0),
+]
+
 
 def words_array_col(text: Column) -> Column:
     """Lowercased ASCII-\\s word array — the ONE tokenizer both
@@ -56,6 +129,48 @@ def hashed_features_col(text: Column, dim: int = 4096) -> Column:
     )
 
 
+def hashed_features_md5_col(text: Column, dim: int) -> Column:
+    """Portable-contract twin of hashed_features_col: word id =
+    md5('f:'+word) 15-hex-digit prefix mod dim — exactly recomputable
+    in DuckDB and Python (the sketches/winnow md5-contract playbook),
+    so the classifier can sit under the hard oracle signal. The
+    xxhash64 hasher stays the production hot path (JVM-fused; md5 is
+    ~3x the digest cost)."""
+    return F.array_distinct(
+        F.transform(
+            words_array_col(text),
+            lambda w: F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit("f:"), w)), 1, 15),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(dim),
+            ),
+        )
+    )
+
+
+def _features_col(text: Column, dim: int, hasher: str) -> Column:
+    if hasher == "xxhash":
+        return hashed_features_col(text, dim)
+    if hasher == "md5":
+        return hashed_features_md5_col(text, dim)
+    raise ValueError(f"unknown feature hasher: {hasher!r}")
+
+
+def _round_half_up(x: float, dp: int) -> float:
+    # same HALF_UP mode as Spark F.round / DuckDB round (the
+    # similarity.py cross-engine rule)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(
+            Decimal(1).scaleb(-dp), rounding=ROUND_HALF_UP
+        )
+    )
+
+
 def train_quality_logreg(
     df: DataFrame,
     text_col: str = "text",
@@ -63,6 +178,8 @@ def train_quality_logreg(
     dim: int = 4096,
     epochs: int = 8,
     lr: float = 2.0,
+    hasher: str = "xxhash",
+    grad_round_dp: int | None = None,
 ) -> dict:
     """Batch GD on logistic loss. Returns {weights: {idx: w}, bias,
     dim} — the model is a plain dict, broadcastable and auditable.
@@ -73,13 +190,20 @@ def train_quality_logreg(
     on a generated id would silently mis-align under cache-partition
     recompute), and the per-feature gradient is the groupBy(idx) of
     residuals in the same plan. The shuffle carries (int, double)
-    pairs; only the <= dim-row gradient reaches the driver."""
+    pairs; only the <= dim-row gradient reaches the driver.
+
+    grad_round_dp: round each epoch's per-feature gradient (HALF_UP)
+    before the weight update. This pins training cross-engine: a
+    distributed double sum is partition-order dependent in its last
+    ulp, so rounding each epoch makes the learned weights BIT-IDENTICAL
+    to the pure-Python twin (train_quality_logreg_py) — the lever that
+    puts the classifier under the hard oracle signal."""
     spark = df.sparkSession
     base = df.select(
         F.col(label_col).cast("double").alias("__y"),
         F.concat(
             F.array(F.lit(_BIAS_IDX).cast("bigint")),
-            hashed_features_col(F.col(text_col), dim),
+            _features_col(F.col(text_col), dim, hasher),
         ).alias("__feats"),
     ).persist()
     n = base.count()
@@ -114,9 +238,70 @@ def train_quality_logreg(
             )
             for row in grad:
                 idx = int(row["__idx"])
-                w[idx] = w.get(idx, 0.0) - lr * float(row["__g"]) / n
+                g = float(row["__g"])
+                if grad_round_dp is not None:
+                    g = _round_half_up(g, grad_round_dp)
+                w[idx] = w.get(idx, 0.0) - lr * g / n
     finally:
         base.unpersist()
+    bias = w.pop(_BIAS_IDX, 0.0)
+    return {"weights": w, "bias": bias, "dim": dim}
+
+
+def md5_feature_ids_py(text: str | None, dim: int) -> list[int]:
+    """Python twin of hashed_features_md5_col: same tokenizer (ASCII
+    \\s — str.split would split NBSP and diverge from Java/RE2),
+    same md5 prefix hash, distinct in first-occurrence order."""
+    import hashlib
+    import re
+
+    words = [
+        w
+        for w in re.split(r"\s+", (text or "").strip().lower(),
+                          flags=re.ASCII)
+        if w
+    ]
+    out: dict[int, None] = {}
+    for w in words:
+        h = int(hashlib.md5(("f:" + w).encode()).hexdigest()[:15], 16)
+        out[h % dim] = None
+    return list(out)
+
+
+def train_quality_logreg_py(
+    rows: list[tuple[str, int]],
+    dim: int,
+    epochs: int = 8,
+    lr: float = 2.0,
+    grad_round_dp: int = 6,
+) -> dict:
+    """Pure-Python twin of train_quality_logreg(hasher='md5',
+    grad_round_dp=...): identical GD arithmetic, identical per-epoch
+    HALF_UP gradient rounding — learned weights are bit-identical to
+    the Spark trainer's (pinned by pytest), which lets oracle_sql()
+    embed them as DuckDB literals without a SparkSession. The per-doc
+    margin sum order differs from Spark's window sum only in the last
+    ulp; the gradient rounding absorbs it (the ann_recall playbook)."""
+    import math
+
+    feats = [
+        ([_BIAS_IDX] + md5_feature_ids_py(t, dim), float(y))
+        for t, y in rows
+    ]
+    n = len(feats)
+    if n == 0:
+        raise ValueError("train_quality_logreg_py: empty training set")
+    w: dict[int, float] = {}
+    for _ in range(epochs):
+        grad: dict[int, float] = {}
+        for ids, y in feats:
+            margin = sum(w.get(i, 0.0) for i in ids)
+            resid = 1.0 / (1.0 + math.exp(-margin)) - y
+            for i in ids:
+                grad[i] = grad.get(i, 0.0) + resid
+        for idx, g in grad.items():
+            g = _round_half_up(g, grad_round_dp)
+            w[idx] = w.get(idx, 0.0) - lr * g / n
     bias = w.pop(_BIAS_IDX, 0.0)
     return {"weights": w, "bias": bias, "dim": dim}
 
@@ -126,6 +311,7 @@ def quality_score(
     model: dict,
     text_col: str = "text",
     out_col: str = "quality_prob",
+    hasher: str = "xxhash",
 ) -> DataFrame:
     """Corpus inference pass — the 10^12-doc side: the weight vector
     folds into a CONSTANT dense-array literal (O(1) element_at; a map
@@ -154,7 +340,7 @@ def quality_score(
     else:
         margin = F.lit(float(model["bias"]))
     feats = df.withColumn(
-        "__feats", hashed_features_col(F.col(text_col), model["dim"])
+        "__feats", _features_col(F.col(text_col), model["dim"], hasher)
     )
     prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
     return feats.withColumn(out_col, prob).drop("__feats")

@@ -11,12 +11,15 @@ immutable data files + an atomic metadata pointer — are public):
 - each commit writes ``_snapshots/v<id>.json``: snapshot id, parent id,
   operation (append/overwrite), schema JSON, the exact data-file list,
   row count, wall timestamp — the manifest IS the table state;
-- the commit point is an ATOMIC manifest publish: the manifest is
-  written to a temp name and ``os.link``-ed (O_EXCL semantics) to its
-  final name, so two racing writers cannot both claim snapshot id N —
-  the loser re-reads the latest id and retries on N+1 (on HDFS/S3 the
-  analog is ``FileSystem.create(path, overwrite=false)`` / a catalog
-  conditional swap; same protocol, different primitive);
+- the commit point is an ATOMIC manifest publish, and the protocol is
+  primitive-agnostic across two backends (_fs_for): plain paths use
+  driver-local ``os.link`` (O_EXCL semantics); URI-scheme paths
+  (file://, hdfs://, s3a://...) go through the Hadoop FileSystem API
+  with ``FileSystem.create(path, overwrite=false)`` as the os.link
+  analog plus a read-back attempt-token verify for stores whose
+  create-if-absent is check-then-act. Either way two racing writers
+  cannot both claim snapshot id N — every loser re-reads the latest
+  id and retries on N+1;
 - ``read_snapshot(spark, table, snapshot_id)`` reads EXACTLY the files
   in that manifest with the manifest's own schema — byte-identical
   before/during/after any concurrent commit, because the files it
@@ -40,38 +43,180 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 _SNAP_RE = re.compile(r"^v(\d{9})\.json$")
+_URI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
 
 
-def _require_local(table_path: str) -> None:
-    """Snapshot metadata uses driver-local os primitives (os.link is
-    the atomic-publish primitive); a URI-scheme path (s3a://, hdfs://)
-    would land data remotely while os.walk scans a nonexistent local
-    dir and publishes an EMPTY file list — silent data loss. Refuse
-    loudly; remote tables need the Hadoop-FS analog
-    (FileSystem.create(path, overwrite=false), see module docstring)."""
-    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", table_path):
-        raise ValueError(
-            f"snapshot tables are local-filesystem only (got "
-            f"{table_path!r}); use the Hadoop FS commit protocol for "
-            f"remote storage"
+class _LocalFS:
+    """Driver-local filesystem backend: os primitives; the atomic
+    publish is os.link (create-if-absent at the syscall level)."""
+
+    def join(self, *parts: str) -> str:
+        return os.path.join(*parts)
+
+    def mkdirs(self, p: str) -> None:
+        os.makedirs(p, exist_ok=True)
+
+    def listdir(self, p: str) -> list[str]:
+        return os.listdir(p) if os.path.isdir(p) else []
+
+    def read_text(self, p: str) -> str:
+        with open(p) as f:
+            return f.read()
+
+    def exists(self, p: str) -> bool:
+        return os.path.exists(p)
+
+    def delete(self, p: str) -> None:
+        if os.path.exists(p):
+            os.unlink(p)
+
+    def publish_atomic(self, final: str, content: str, attempt: str) -> bool:
+        """True iff THIS writer published `final` (exactly one can)."""
+        tmp = final + f".tmp-{attempt}"
+        with open(tmp, "w") as f:
+            f.write(content)
+        try:
+            # os.link = atomic create-if-absent: exactly one writer
+            # publishes id N; a racer sees EEXIST and retries on N+1
+            os.link(tmp, final)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def walk_parquet(self, data_dir: str) -> list[str]:
+        out = []
+        for root, _dirs, files in os.walk(data_dir):
+            for f in sorted(files):
+                if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                    out.append(os.path.join(root, f))
+        return sorted(out)
+
+
+class _HadoopFS:
+    """Hadoop FileSystem backend for URI-scheme table paths (file://,
+    hdfs://, s3a://...): the same snapshot protocol over the cluster
+    filesystem API (VERDICT r4 #4 — src/witness/ledger.rs:7-69
+    generalized one more step). The atomic publish primitive is
+    ``FileSystem.create(path, overwrite=false)`` — atomic on HDFS
+    (namenode-arbitrated, the os.link analog) — plus a read-back
+    verify of the attempt token: on stores whose create-if-absent is
+    check-then-act (RawLocalFileSystem; S3A without a committer), a
+    lost micro-race is then DETECTED and retried on the next id
+    instead of silently producing two writers on one manifest."""
+
+    def __init__(self, any_uri: str):
+        # getActiveSession is THREAD-local; racing commit threads fall
+        # back to the process-wide default session
+        spark = (
+            SparkSession.getActiveSession()
+            or SparkSession._instantiatedSession
         )
+        if spark is None:
+            raise RuntimeError(
+                "URI-scheme snapshot tables need an active SparkSession "
+                "(the Hadoop FS client lives in the JVM)"
+            )
+        self._jvm = spark._jvm
+        self._Path = self._jvm.org.apache.hadoop.fs.Path
+        self._fs = self._Path(any_uri).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+
+    def join(self, *parts: str) -> str:
+        out = parts[0].rstrip("/")
+        for p in parts[1:]:
+            out += "/" + p.strip("/")
+        return out
+
+    def mkdirs(self, p: str) -> None:
+        self._fs.mkdirs(self._Path(p))
+
+    def listdir(self, p: str) -> list[str]:
+        path = self._Path(p)
+        if not self._fs.exists(path):
+            return []
+        return [
+            st.getPath().getName() for st in self._fs.listStatus(path)
+        ]
+
+    def read_text(self, p: str) -> str:
+        from py4j.protocol import Py4JJavaError
+
+        try:
+            stream = self._fs.open(self._Path(p))
+        except Py4JJavaError as e:
+            if "FileNotFoundException" in str(e):
+                raise FileNotFoundError(p) from None
+            raise
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+
+    def exists(self, p: str) -> bool:
+        return bool(self._fs.exists(self._Path(p)))
+
+    def delete(self, p: str) -> None:
+        self._fs.delete(self._Path(p), False)
+
+    def publish_atomic(self, final: str, content: str, attempt: str) -> bool:
+        from py4j.protocol import Py4JJavaError
+
+        try:
+            out = self._fs.create(self._Path(final), False)
+        except Py4JJavaError as e:
+            if "AlreadyExists" in str(e) or "already exists" in str(e):
+                return False
+            raise
+        try:
+            out.write(bytearray(content.encode("utf-8")))
+        finally:
+            out.close()
+        # read-back verify: the manifest carries this attempt's unique
+        # token; a non-atomic store that let two creates through keeps
+        # exactly the last-closed content, so at most one writer sees
+        # its own token and every loser retries on the next id
+        try:
+            return self.read_text(final) == content
+        except FileNotFoundError:
+            return False
+
+    def walk_parquet(self, data_dir: str) -> list[str]:
+        path = self._Path(data_dir)
+        if not self._fs.exists(path):
+            return []
+        it = self._fs.listFiles(path, True)
+        out = []
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if name.endswith(".parquet") and not name.startswith(("_", ".")):
+                out.append(st.getPath().toString())
+        return sorted(out)
+
+
+def _fs_for(table_path: str):
+    return _HadoopFS(table_path) if _URI_RE.match(table_path) else _LocalFS()
 
 
 def _snap_dir(table_path: str) -> str:
-    return os.path.join(table_path, "_snapshots")
+    return _fs_for(table_path).join(table_path, "_snapshots")
 
 
 def _manifest_file(table_path: str, snapshot_id: int) -> str:
-    return os.path.join(_snap_dir(table_path), f"v{snapshot_id:09d}.json")
+    return _fs_for(table_path).join(
+        table_path, "_snapshots", f"v{snapshot_id:09d}.json"
+    )
 
 
 def list_snapshots(table_path: str) -> list[int]:
-    _require_local(table_path)
-    d = _snap_dir(table_path)
-    if not os.path.isdir(d):
-        return []
+    fs = _fs_for(table_path)
     ids = []
-    for name in os.listdir(d):
+    for name in fs.listdir(fs.join(table_path, "_snapshots")):
         m = _SNAP_RE.match(name)
         if m:
             ids.append(int(m.group(1)))
@@ -88,18 +233,9 @@ def load_manifest(table_path: str, snapshot_id: int | None = None) -> dict:
         snapshot_id = current_snapshot_id(table_path)
         if snapshot_id is None:
             raise FileNotFoundError(f"no snapshots in {table_path}")
-    path = _manifest_file(table_path, snapshot_id)
-    with open(path) as f:
-        return json.load(f)
-
-
-def _list_data_files(data_dir: str) -> list[str]:
-    out = []
-    for root, _dirs, files in os.walk(data_dir):
-        for f in sorted(files):
-            if f.endswith(".parquet") and not f.startswith(("_", ".")):
-                out.append(os.path.join(root, f))
-    return sorted(out)
+    return json.loads(
+        _fs_for(table_path).read_text(_manifest_file(table_path, snapshot_id))
+    )
 
 
 def commit_snapshot(
@@ -115,14 +251,14 @@ def commit_snapshot(
     expire_snapshots' job). Returns the committed manifest."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-    _require_local(table_path)
-    os.makedirs(_snap_dir(table_path), exist_ok=True)
+    fs = _fs_for(table_path)
+    fs.mkdirs(_snap_dir(table_path))
     # data files land under a directory unique to this ATTEMPT (pid +
     # monotonic ns): uniqueness must not depend on winning the commit
     attempt = f"{os.getpid()}-{time.monotonic_ns()}"
-    data_dir = os.path.join(table_path, "data", f"c{attempt}")
+    data_dir = fs.join(table_path, "data", f"c{attempt}")
     df.write.mode("error").parquet(data_dir)
-    new_files = _list_data_files(data_dir)
+    new_files = fs.walk_parquet(data_dir)
     # count from the WRITTEN files (what is audited is what landed on
     # disk — same rule as sinks._fold_shards)
     spark = df.sparkSession
@@ -151,20 +287,15 @@ def commit_snapshot(
             "files": files,
             "n_rows": n_rows,
             "committed_at": time.time(),
+            # unique attempt token: the Hadoop backend's read-back
+            # verify keys on it (see _HadoopFS.publish_atomic)
+            "attempt": attempt,
         }
         final = _manifest_file(table_path, snapshot_id)
-        tmp = final + f".tmp-{attempt}"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, sort_keys=True)
-        try:
-            # os.link = atomic create-if-absent: exactly one writer
-            # publishes id N; a racer sees EEXIST and retries on N+1
-            os.link(tmp, final)
+        if fs.publish_atomic(
+            final, json.dumps(manifest, sort_keys=True), attempt
+        ):
             return manifest
-        except FileExistsError:
-            continue
-        finally:
-            os.unlink(tmp)
     raise RuntimeError(
         f"commit_snapshot: lost the publish race {max_retries} times "
         f"on {table_path}"
@@ -194,6 +325,7 @@ def expire_snapshots(table_path: str, keep_last: int = 1) -> list[int]:
     expired = ids[:-keep_last]
     if not expired:
         return []
+    fs = _fs_for(table_path)
     keep_files = set()
     for sid in ids[-keep_last:]:
         keep_files.update(load_manifest(table_path, sid)["files"])
@@ -201,10 +333,9 @@ def expire_snapshots(table_path: str, keep_last: int = 1) -> list[int]:
     for sid in expired:
         drop_files.update(load_manifest(table_path, sid)["files"])
     for f in sorted(drop_files - keep_files):
-        if os.path.exists(f):
-            os.unlink(f)
+        fs.delete(f)
     for sid in expired:
-        os.unlink(_manifest_file(table_path, sid))
+        fs.delete(_manifest_file(table_path, sid))
     return expired
 
 

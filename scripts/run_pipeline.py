@@ -363,10 +363,12 @@ def _curate_mode(argv: list[str]) -> int:
     """
     paths: list[str] = []
     opts: dict[str, str] = {}
+    flags = {"justext"}  # boolean options (no value token follows)
     it = iter(argv[1:])
     for a in it:
         if a.startswith("--"):
-            opts[a[2:].replace("-", "_")] = next(it, "")
+            key = a[2:].replace("-", "_")
+            opts[key] = "1" if key in flags else next(it, "")
         else:
             paths.append(a)
     if not paths or ("output" not in opts and "snapshot_output" not in opts):
@@ -374,6 +376,8 @@ def _curate_mode(argv: list[str]) -> int:
               "--output DIR "
               "[--chunk-words N] [--max-docs N] [--benchmark PARQUET] "
               "[--decontam-n N] [--text-col text] [--key-col url] "
+              "[--justext  (DOM boilerplate strip; needs an html col)] "
+              "[--classifier MODEL.json [--classifier-threshold P]] "
               "[--shards N  (audited hash-sharded output + _MANIFEST)] "
               "[--input-snapshot N|current  (pinned Iceberg-style read)] "
               "[--snapshot-output TABLE_DIR [--snapshot-mode "
@@ -429,6 +433,26 @@ def _curate_mode(argv: list[str]) -> int:
         witness_read(paths[0], manifest, tool="curate")
     else:
         df = spark.read.parquet(paths[0])
+    if "justext" in opts:
+        # opt-in DOM boilerplate strip (VERDICT r4 #5): the JusText
+        # pass replaces the text column with the stripped main text,
+        # so EVERY downstream stage (quality chain, chunk dedup,
+        # decontam, classifier) sees boilerplate-free text; block
+        # counters ride the same observe() action
+        if "html" not in df.columns:
+            print("error: --justext requires an 'html' column in the "
+                  "corpus", file=sys.stderr)
+            return 2
+        from fingerprint_spark.operators.boilerplate_dom import (
+            strip_boilerplate,
+        )
+
+        bp = strip_boilerplate(df, "html", key_col).select(
+            F.col("url").alias(key_col),
+            F.col("main_text").alias(text_col),
+            "n_good", "n_bad",
+        )
+        df = df.drop(text_col).join(bp, key_col)
     quality = quality_filter_text(df, text_col=text_col, url_col=key_col)
     base = quality.select(
         key_col,
@@ -452,14 +476,34 @@ def _curate_mode(argv: list[str]) -> int:
         out = out.join(cont.select(key_col, "contaminated"), key_col)
     else:
         out = out.withColumn("contaminated", F.lit(0))
-    out = out.withColumn(
-        "final_keep",
-        (
-            (F.col("keep_quality") == 1)
-            & (F.col("contaminated") == 0)
-            & (F.col("n_kept") > 0)
-        ).cast("int"),
+    if "justext" in opts:
+        out = out.join(df.select(key_col, "n_good", "n_bad"), key_col)
+    keep = (
+        (F.col("keep_quality") == 1)
+        & (F.col("contaminated") == 0)
+        & (F.col("n_kept") > 0)
     )
+    if "classifier" in opts:
+        # opt-in learned quality gate (VERDICT r4 #5): score the
+        # (possibly justext-stripped) text with a trained model file
+        # and AND the probability threshold into the final verdict
+        from fingerprint_spark.operators.quality_classifier import (
+            quality_score,
+        )
+
+        with open(opts["classifier"]) as fh:
+            model = json.load(fh)
+        model["weights"] = {
+            int(i): float(v) for i, v in model["weights"].items()
+        }
+        thr = float(opts.get("classifier_threshold", "0.5"))
+        scored = quality_score(
+            df.select(key_col, text_col), model, text_col=text_col,
+            hasher=model.get("hasher", "xxhash"),
+        )
+        out = out.join(scored.select(key_col, "quality_prob"), key_col)
+        keep = keep & (F.col("quality_prob") >= F.lit(thr))
+    out = out.withColumn("final_keep", keep.cast("int"))
     if "shards" in opts:
         from fingerprint_spark.sinks import write_training_shards
 
@@ -472,15 +516,28 @@ def _curate_mode(argv: list[str]) -> int:
                           "output": opts["output"]}))
         return 0
     obs = Observation("curate")
-    out = out.observe(
-        obs,
+    counters = [
         F.count(F.lit(1)).alias("docs"),
         F.sum("keep_quality").alias("kept_quality"),
         F.sum("contaminated").alias("contaminated"),
         F.sum("n_chunks").alias("chunks_total"),
         F.sum("n_kept").alias("chunks_kept"),
         F.sum("final_keep").alias("final_keep"),
-    )
+    ]
+    if "justext" in opts:
+        counters += [
+            F.sum("n_good").alias("justext_blocks_good"),
+            F.sum("n_bad").alias("justext_blocks_bad"),
+        ]
+    if "classifier" in opts:
+        counters.append(
+            F.sum(
+                (F.col("quality_prob")
+                 >= float(opts.get("classifier_threshold", "0.5"))
+                 ).cast("int")
+            ).alias("classifier_keep")
+        )
+    out = out.observe(obs, *counters)
     if "snapshot_output" in opts:
         # atomic snapshot commit: the verdicts become snapshot N+1 of
         # an Iceberg-style table; concurrent pinned readers of N are

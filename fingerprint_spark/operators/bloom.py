@@ -249,6 +249,18 @@ def bloom_probe(
     _check_pow2_words(n_bits)
     _validate_bloom_params(bloom, n_bits, k)
     bloom = bloom.filter(F.col("word_idx") >= 0)
+    if df.isStreaming:
+        # the sharded path's groupBy + join-back is a streaming-
+        # incompatible aggregation; a stream either broadcasts or
+        # fails LOUDLY here instead of at query start (review finding)
+        if strategy == "sharded":
+            raise ValueError(
+                "sharded bloom probe is batch-only (its membership "
+                "fold is a streaming-incompatible aggregation); "
+                "streams must use strategy='broadcast' with a filter "
+                "that fits the broadcast cap"
+            )
+        strategy = "broadcast"
     if strategy is None:
         strategy = _bloom_strategy(n_bits, broadcast_cap_bytes)
     if strategy == "broadcast":

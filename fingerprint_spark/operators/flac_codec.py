@@ -472,7 +472,8 @@ def _decode_flac(data: bytes) -> dict:
     # (MemoryError would escape the E_PARSE contract): cap the decoded
     # buffer at 1 GiB — far above any crawl audio payload this engine
     # ingests per row.
-    if total * ch * 2 > 1 << 30:
+    # 4 bytes/sample: the decode buffer below is int32, not int16
+    if total * ch * 4 > 1 << 30:
         raise ValueError(
             f"flac: total_samples {total} x {ch}ch exceeds the 1 GiB "
             "decode-buffer cap"

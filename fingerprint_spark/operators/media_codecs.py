@@ -27,6 +27,7 @@ import io
 import struct
 import wave
 import zlib
+from functools import lru_cache
 
 import numpy as np
 
@@ -467,7 +468,9 @@ def linear_to_alaw(sample: int) -> int:
     return (sign | (exp << 4) | mant) ^ 0x55
 
 
+@lru_cache(maxsize=1)
 def _g711_tables() -> dict:
+    # built once per process, not once per decoded row (review finding)
     return {
         6: np.array([alaw_to_linear(c) for c in range(256)], dtype=np.int16),
         7: np.array([ulaw_to_linear(c) for c in range(256)], dtype=np.int16),

@@ -31,6 +31,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+# ONE shared HALF_UP implementation: a divergent copy here would
+# silently split the cross-engine rounding contract (review finding)
+from .similarity import _round_half_up
+
 _BIAS_IDX = -1  # the bias is feature -1 on every document
 
 #: fixture-scale labeled set for the oracle-checked classifier row
@@ -159,16 +163,6 @@ def _features_col(text: Column, dim: int, hasher: str) -> Column:
     raise ValueError(f"unknown feature hasher: {hasher!r}")
 
 
-def _round_half_up(x: float, dp: int) -> float:
-    # same HALF_UP mode as Spark F.round / DuckDB round (the
-    # similarity.py cross-engine rule)
-    from decimal import ROUND_HALF_UP, Decimal
-
-    return float(
-        Decimal(repr(x)).quantize(
-            Decimal(1).scaleb(-dp), rounding=ROUND_HALF_UP
-        )
-    )
 
 
 def train_quality_logreg(

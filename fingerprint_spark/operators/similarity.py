@@ -361,6 +361,7 @@ def ivf_recall_curve(
     exact = {
         qid: {
             r["key"]
+            # driver-bounded: cosine_topk emits exactly k rows
             for r in cosine_topk(
                 df.filter(F.col("vec_id") != qid), qv, k
             ).collect()
@@ -383,6 +384,7 @@ def ivf_recall_curve(
             probed += sum(cell_sizes.get(c, 0) for c in cells)
             ap = {
                 r["key"]
+                # driver-bounded: ivf_topk emits at most k rows
                 for r in ivf_topk(
                     assigned.filter(F.col("vec_id") != qid),
                     cents, qv, k, n_probe=n_probe,

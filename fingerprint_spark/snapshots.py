@@ -98,13 +98,23 @@ class _HadoopFS:
     """Hadoop FileSystem backend for URI-scheme table paths (file://,
     hdfs://, s3a://...): the same snapshot protocol over the cluster
     filesystem API (VERDICT r4 #4 — src/witness/ledger.rs:7-69
-    generalized one more step). The atomic publish primitive is
-    ``FileSystem.create(path, overwrite=false)`` — atomic on HDFS
-    (namenode-arbitrated, the os.link analog) — plus a read-back
-    verify of the attempt token: on stores whose create-if-absent is
-    check-then-act (RawLocalFileSystem; S3A without a committer), a
-    lost micro-race is then DETECTED and retried on the next id
-    instead of silently producing two writers on one manifest."""
+    generalized one more step). Publish = claim + rename (the Iceberg
+    metadata pattern):
+
+    1. CLAIM the id with ``FileSystem.create(vN.json.claim,
+       overwrite=false)`` — atomic on HDFS (namenode-arbitrated, the
+       os.link analog). The claim is zero-byte, so the check-then-act
+       window of weaker stores (RawLocalFileSystem, bare S3A) can tear
+       nothing.
+    2. Write the COMPLETE manifest to a private temp name and close it.
+    3. ``rename(tmp, vN.json)`` — atomic full-content swap on both
+       POSIX and HDFS, so a reader sees either no manifest or the
+       whole manifest, NEVER a partial/empty file (the review-found
+       visibility window of a direct create+write).
+    4. Read-back verify of the attempt token: if a weak store let two
+       claimants through its micro-race, the rename swaps are still
+       atomic and whole, and exactly the writer whose content survived
+       counts itself the winner; the other retries on the next id."""
 
     def __init__(self, any_uri: str):
         # getActiveSession is THREAD-local; racing commit threads fall
@@ -167,19 +177,20 @@ class _HadoopFS:
         from py4j.protocol import Py4JJavaError
 
         try:
-            out = self._fs.create(self._Path(final), False)
+            self._fs.create(self._Path(final + ".claim"), False).close()
         except Py4JJavaError as e:
             if "AlreadyExists" in str(e) or "already exists" in str(e):
                 return False
             raise
+        tmp = final + f".tmp-{attempt}"
+        out = self._fs.create(self._Path(tmp), True)
         try:
             out.write(bytearray(content.encode("utf-8")))
         finally:
             out.close()
-        # read-back verify: the manifest carries this attempt's unique
-        # token; a non-atomic store that let two creates through keeps
-        # exactly the last-closed content, so at most one writer sees
-        # its own token and every loser retries on the next id
+        if not self._fs.rename(self._Path(tmp), self._Path(final)):
+            self._fs.delete(self._Path(tmp), False)
+            return False
         try:
             return self.read_text(final) == content
         except FileNotFoundError:
@@ -200,41 +211,64 @@ class _HadoopFS:
 
 
 def _fs_for(table_path: str):
-    return _HadoopFS(table_path) if _URI_RE.match(table_path) else _LocalFS()
+    """Pick the filesystem backend ONCE per public operation (each
+    _HadoopFS construction is several py4j round-trips — callers
+    thread the returned instance through their helpers).
 
-
-def _snap_dir(table_path: str) -> str:
-    return _fs_for(table_path).join(table_path, "_snapshots")
-
-
-def _manifest_file(table_path: str, snapshot_id: int) -> str:
-    return _fs_for(table_path).join(
-        table_path, "_snapshots", f"v{snapshot_id:09d}.json"
+    A scheme-less path goes to the os-primitive backend only when
+    Spark itself would resolve it locally: on a cluster with
+    fs.defaultFS=hdfs://..., ``df.write.parquet("/data/tbl")`` lands
+    on HDFS, so the metadata must go through the Hadoop client for the
+    SAME path or commit would publish an empty file list scanned from
+    a nonexistent local dir (silent data loss — the hazard the old
+    _require_local guard refused)."""
+    if _URI_RE.match(table_path):
+        return _HadoopFS(table_path)
+    spark = (
+        SparkSession.getActiveSession() or SparkSession._instantiatedSession
     )
+    if spark is not None:
+        default_fs = spark._jsc.hadoopConfiguration().get(
+            "fs.defaultFS", "file:///"
+        )
+        if not default_fs.startswith("file:"):
+            return _HadoopFS(default_fs)
+    return _LocalFS()
 
 
-def list_snapshots(table_path: str) -> list[int]:
-    fs = _fs_for(table_path)
+def _snap_dir(fs, table_path: str) -> str:
+    return fs.join(table_path, "_snapshots")
+
+
+def _manifest_file(fs, table_path: str, snapshot_id: int) -> str:
+    return fs.join(table_path, "_snapshots", f"v{snapshot_id:09d}.json")
+
+
+def list_snapshots(table_path: str, fs=None) -> list[int]:
+    fs = fs or _fs_for(table_path)
     ids = []
-    for name in fs.listdir(fs.join(table_path, "_snapshots")):
+    for name in fs.listdir(_snap_dir(fs, table_path)):
         m = _SNAP_RE.match(name)
         if m:
             ids.append(int(m.group(1)))
     return sorted(ids)
 
 
-def current_snapshot_id(table_path: str) -> int | None:
-    ids = list_snapshots(table_path)
+def current_snapshot_id(table_path: str, fs=None) -> int | None:
+    ids = list_snapshots(table_path, fs)
     return ids[-1] if ids else None
 
 
-def load_manifest(table_path: str, snapshot_id: int | None = None) -> dict:
+def load_manifest(
+    table_path: str, snapshot_id: int | None = None, fs=None
+) -> dict:
+    fs = fs or _fs_for(table_path)
     if snapshot_id is None:
-        snapshot_id = current_snapshot_id(table_path)
+        snapshot_id = current_snapshot_id(table_path, fs)
         if snapshot_id is None:
             raise FileNotFoundError(f"no snapshots in {table_path}")
     return json.loads(
-        _fs_for(table_path).read_text(_manifest_file(table_path, snapshot_id))
+        fs.read_text(_manifest_file(fs, table_path, snapshot_id))
     )
 
 
@@ -252,7 +286,7 @@ def commit_snapshot(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     fs = _fs_for(table_path)
-    fs.mkdirs(_snap_dir(table_path))
+    fs.mkdirs(_snap_dir(fs, table_path))
     # data files land under a directory unique to this ATTEMPT (pid +
     # monotonic ns): uniqueness must not depend on winning the commit
     attempt = f"{os.getpid()}-{time.monotonic_ns()}"
@@ -265,10 +299,10 @@ def commit_snapshot(
     n_new = spark.read.schema(df.schema).parquet(data_dir).count()
 
     for _ in range(max_retries):
-        parent = current_snapshot_id(table_path)
+        parent = current_snapshot_id(table_path, fs)
         snapshot_id = (parent or 0) + 1
         if mode == "append" and parent is not None:
-            base = load_manifest(table_path, parent)
+            base = load_manifest(table_path, parent, fs)
             files = base["files"] + new_files
             n_rows = base["n_rows"] + n_new
             if base["schema"] != df.schema.json():
@@ -291,11 +325,28 @@ def commit_snapshot(
             # verify keys on it (see _HadoopFS.publish_atomic)
             "attempt": attempt,
         }
-        final = _manifest_file(table_path, snapshot_id)
+        final = _manifest_file(fs, table_path, snapshot_id)
         if fs.publish_atomic(
             final, json.dumps(manifest, sort_keys=True), attempt
         ):
             return manifest
+        # lost the race: wait (bounded) for the winner's manifest to
+        # become visible so the next attempt computes the right parent.
+        # The os.link backend publishes instantly (first check passes);
+        # the Hadoop claim+rename backend has a tiny claim->rename
+        # window — and a writer that CRASHED between claim and rename
+        # would wedge the id forever, so surface that as an actionable
+        # error instead of spinning through max_retries
+        deadline = time.monotonic() + 10.0
+        while not fs.exists(final):
+            if time.monotonic() > deadline:
+                raise RuntimeError(
+                    f"snapshot id {snapshot_id} of {table_path} is "
+                    f"claimed but was never published — a writer "
+                    f"crashed mid-commit; remove the stale "
+                    f"'{final}.claim' to unblock the table"
+                )
+            time.sleep(0.025)
     raise RuntimeError(
         f"commit_snapshot: lost the publish race {max_retries} times "
         f"on {table_path}"
@@ -321,21 +372,23 @@ def expire_snapshots(table_path: str, keep_last: int = 1) -> list[int]:
     files no surviving snapshot references. Returns expired ids."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
-    ids = list_snapshots(table_path)
+    fs = _fs_for(table_path)
+    ids = list_snapshots(table_path, fs)
     expired = ids[:-keep_last]
     if not expired:
         return []
-    fs = _fs_for(table_path)
     keep_files = set()
     for sid in ids[-keep_last:]:
-        keep_files.update(load_manifest(table_path, sid)["files"])
+        keep_files.update(load_manifest(table_path, sid, fs)["files"])
     drop_files = set()
     for sid in expired:
-        drop_files.update(load_manifest(table_path, sid)["files"])
+        drop_files.update(load_manifest(table_path, sid, fs)["files"])
     for f in sorted(drop_files - keep_files):
         fs.delete(f)
     for sid in expired:
-        fs.delete(_manifest_file(table_path, sid))
+        mf = _manifest_file(fs, table_path, sid)
+        fs.delete(mf)
+        fs.delete(mf + ".claim")  # Hadoop-backend claim marker, if any
     return expired
 
 

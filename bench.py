@@ -403,6 +403,51 @@ def run_decontam13(cores: str) -> dict:
     return out
 
 
+def run_classifier_bench(cores: str) -> dict:
+    """Classifier corpus-inference throughput (round 5): the pure-
+    Column dense-literal fold vs the Arrow kernel (C-regex tokenize +
+    per-batch word->id memo + numpy margin fold, sharing the exact JVM
+    xxhash64 feature ids via functions/xxh64.py) over the 120k-doc
+    scaling corpus. Both are zero-shuffle single-stage plans; the
+    kernel is the named r4 upgrade path for the 10^12-doc pass."""
+    from pyspark.sql import functions as F
+
+    from fingerprint_spark.operators.quality_classifier import (
+        QUALITY_TRAIN_FIXTURE,
+        quality_score,
+        quality_score_arrow,
+        train_quality_logreg,
+    )
+    from fingerprint_spark.session import get_spark
+
+    _ensure_scaling_corpus()
+    spark = get_spark("fingerprint_spark_clf_bench", cores=cores)
+    train = spark.createDataFrame(
+        QUALITY_TRAIN_FIXTURE, "text string, label int"
+    )
+    model = train_quality_logreg(train, dim=4096, epochs=8, lr=2.0)
+    docs = spark.read.parquet(SCALING_CORPUS).select("url", "text").persist()
+    n = docs.count()
+    out = {"metric": "classifier_inference", "unit": "docs_per_sec",
+           "n_docs": n, "dim": 4096, "cores": cores}
+    for name, fn in (("column", quality_score), ("arrow", quality_score_arrow)):
+        best = float("inf")
+        for i in range(3):  # run0 warm-up; min-of-2
+            t0 = time.perf_counter()
+            fn(docs, model).select(
+                F.sum("quality_prob")
+            ).collect()  # driver-bounded: 1 row
+            dt = time.perf_counter() - t0
+            if i > 0:
+                best = min(best, dt)
+        out[f"sec_{name}"] = round(best, 3)
+        out[f"docs_per_sec_{name}"] = round(n / best, 1)
+    docs.unpersist()
+    out["value"] = out["docs_per_sec_arrow"]
+    spark.stop()
+    return out
+
+
 def run_ann_curve(cores: str) -> dict:
     """Probe-fraction/recall curve on CLUSTERED embeddings (round 5,
     VERDICT r4 #7): 20k md5-seeded clustered vectors (dim 64, 32
@@ -665,6 +710,9 @@ def main() -> None:
                     help="n=13 decontamination leg, both join strategies")
     ap.add_argument("--bloom", action="store_true",
                     help="bloom frontier-dedup build+probe leg")
+    ap.add_argument("--classifier-bench", action="store_true",
+                    help="classifier inference docs/s: Column fold vs "
+                         "Arrow kernel")
     ap.add_argument("--ann-curve", action="store_true",
                     help="IVF probe-fraction/recall curve on clustered "
                          "embeddings")
@@ -713,6 +761,9 @@ def main() -> None:
         return
     if args.ann_curve:
         print(json.dumps(run_ann_curve(str(args.cores))))
+        return
+    if args.classifier_bench:
+        print(json.dumps(run_classifier_bench(str(args.cores))))
         return
     if args.corpus_pipeline:
         print(json.dumps(run_corpus_pipeline(str(args.cores), args.corpus_pipeline)))

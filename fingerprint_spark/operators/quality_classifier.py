@@ -27,6 +27,8 @@ quality-scoring requirement.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd  # module level: pandas_udf type hints resolve here
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -240,6 +242,75 @@ def train_quality_logreg(
         base.unpersist()
     bias = w.pop(_BIAS_IDX, 0.0)
     return {"weights": w, "bias": bias, "dim": dim}
+
+
+def quality_score_arrow(
+    df: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    out_col: str = "quality_prob",
+    hasher: str = "xxhash",
+) -> DataFrame:
+    """Arrow-batched inference kernel — the upgrade path named in
+    round 4 for the corpus pass (the pure-Column fold interprets one
+    element_at per token hash; this kernel tokenizes with C regex,
+    hashes each DISTINCT word once per BATCH via a memo — zipfian
+    word repetition makes the memo hit rate very high — and folds
+    margins in numpy). Same zero-shuffle plan shape (one
+    ArrowEvalPython stage, no joins); agrees with quality_score to
+    float-sum reordering (parity-tested at 1e-9).
+
+    hasher='xxhash' shares the JVM feature ids exactly: functions/
+    xxh64.py re-derives XXH64 bit-for-bit vs F.xxhash64 (tested), so
+    Column-trained models score identically here."""
+    import hashlib
+    import math
+    import re as _re
+
+    if hasher not in ("xxhash", "md5"):
+        raise ValueError(f"unknown feature hasher: {hasher!r}")
+    dim = int(model["dim"])
+    bias = float(model["bias"])
+    dense = [0.0] * dim
+    for idx, wv in model["weights"].items():
+        dense[int(idx)] = float(wv)
+
+    from ..functions.xxh64 import xxh64_signed
+
+    weights_list = dense
+    split = _re.compile(r"\s+", _re.ASCII).split
+
+    @F.pandas_udf("double")
+    def score(texts: pd.Series) -> pd.Series:
+        weights = np.asarray(weights_list)
+        memo: dict[str, int] = {}  # per-batch word -> feature id
+
+        def word_idx(w: str) -> int:
+            idx = memo.get(w)
+            if idx is None:
+                if hasher == "xxhash":
+                    idx = xxh64_signed(w.encode("utf-8")) % dim
+                else:
+                    idx = (
+                        int(hashlib.md5(
+                            ("f:" + w).encode()).hexdigest()[:15], 16)
+                        % dim
+                    )
+                memo[w] = idx
+            return idx
+
+        out = np.empty(len(texts), dtype=np.float64)
+        for i, t in enumerate(texts):
+            words = split((t or "").strip().lower())
+            ids = {word_idx(w) for w in words if w}
+            m = bias
+            if ids:
+                m += float(weights[np.fromiter(
+                    ids, dtype=np.int64, count=len(ids))].sum())
+            out[i] = 1.0 / (1.0 + math.exp(-m))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, score(F.col(text_col)))
 
 
 def md5_feature_ids_py(text: str | None, dim: int) -> list[int]:

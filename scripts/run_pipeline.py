@@ -488,7 +488,7 @@ def _curate_mode(argv: list[str]) -> int:
         # (possibly justext-stripped) text with a trained model file
         # and AND the probability threshold into the final verdict
         from fingerprint_spark.operators.quality_classifier import (
-            quality_score,
+            quality_score_arrow,
         )
 
         with open(opts["classifier"]) as fh:
@@ -497,7 +497,11 @@ def _curate_mode(argv: list[str]) -> int:
             int(i): float(v) for i, v in model["weights"].items()
         }
         thr = float(opts.get("classifier_threshold", "0.5"))
-        scored = quality_score(
+        # the Arrow kernel (per-batch word memo + numpy fold) is ~3x
+        # the Column fold's throughput at dim=4096 — the right default
+        # for the corpus pass; parity with the Column path is pinned
+        # at 1e-9 by test_quality_classifier
+        scored = quality_score_arrow(
             df.select(key_col, text_col), model, text_col=text_col,
             hasher=model.get("hasher", "xxhash"),
         )

@@ -93,3 +93,66 @@ def test_null_text_scores_bias_like_training(spark):
            for r in quality_score(df, model).collect()}
     assert got["null"] is not None
     assert got["null"] == got["empty"]
+
+
+def test_xxh64_python_matches_spark(spark):
+    """functions/xxh64.py must match F.xxhash64 bit-for-bit — the
+    contract that lets the Arrow kernel share JVM feature ids."""
+    from fingerprint_spark.functions.xxh64 import xxh64_signed
+
+    words = ["hello", "a", "", "the quick brown fox jumps over the "
+             "lazy dog and more text to cross the 32-byte stripe",
+             "word123", "ünïcödé", "x" * 31,
+             "y" * 32, "z" * 33]
+    rows = spark.createDataFrame(
+        [(w,) for w in words], "w string"
+    ).select("w", F.xxhash64("w").alias("h")).collect()
+    for r in rows:
+        assert xxh64_signed(r["w"].encode("utf-8")) == r["h"], repr(r["w"])
+
+
+def test_arrow_inference_parity_and_plan(spark):
+    """quality_score_arrow must agree with the Column fold to float-
+    sum reordering (1e-9) for BOTH hashers, treat NULL like empty, and
+    keep the zero-shuffle single-Arrow-stage plan shape."""
+    from fingerprint_spark.operators.quality_classifier import (
+        QUALITY_TRAIN_FIXTURE,
+        quality_score,
+        quality_score_arrow,
+        train_quality_logreg,
+    )
+
+    train = spark.createDataFrame(
+        QUALITY_TRAIN_FIXTURE, "text string, label int"
+    )
+    docs = train.select(
+        F.monotonically_increasing_id().alias("doc_id"), "text"
+    ).unionByName(
+        spark.createDataFrame(
+            [(9001, None), (9002, "")], "doc_id long, text string"
+        )
+    )
+    for hasher in ("xxhash", "md5"):
+        model = train_quality_logreg(
+            train, dim=512, epochs=4, lr=2.0, hasher=hasher
+        )
+        a = {r["doc_id"]: r["quality_prob"]
+             for r in quality_score(docs, model, hasher=hasher).collect()}
+        b = {r["doc_id"]: r["quality_prob"]
+             for r in quality_score_arrow(
+                 docs, model, hasher=hasher).collect()}
+        assert a.keys() == b.keys()
+        assert all(abs(a[k] - b[k]) < 1e-9 for k in a), hasher
+        assert abs(b[9001] - b[9002]) < 1e-12  # NULL == empty
+    # plan shape on a plain (non-union) input: one Arrow stage, no
+    # shuffle (on the union input above the optimizer pushes the UDF
+    # into each branch, which is still a single logical stage)
+    out = quality_score_arrow(train.select("text"), model)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Exchange hashpartitioning" not in plan
+    import pytest
+
+    with pytest.raises(ValueError, match="hasher"):
+        quality_score_arrow(docs, model, hasher="sha1")

@@ -478,7 +478,7 @@ def test_curate_cli_justext_and_classifier_stages(spark, tmp_path):
     )
     from fingerprint_spark.operators.quality_classifier import (
         QUALITY_TRAIN_FIXTURE,
-        quality_score,
+        quality_score_arrow,
         train_quality_logreg,
     )
 
@@ -539,7 +539,7 @@ def test_curate_cli_justext_and_classifier_stages(spark, tmp_path):
     bp = strip_boilerplate(docs, "html", "url")
     scored = {
         r2["url"]: r2["quality_prob"]
-        for r2 in quality_score(
+        for r2 in quality_score_arrow(
             bp.select("url", F.col("main_text").alias("text")), model
         ).collect()
     }

@@ -93,7 +93,7 @@ def _display_surfaces(argv: list[str]) -> int | None:
             "schema_version": "spark-operator.v0",
             "capabilities": {
                 "formats": ["html", "markdown", "text", "csv", "xlsx", "pdf"],
-                "modes": ["run", "resume", "revalidate", "diagnose", "compile", "infer", "witness", "curate"],
+                "modes": ["run", "resume", "revalidate", "diagnose", "compile", "infer", "witness", "curate", "train-classifier"],
             },
             "pipeline": [
                 "parse", "template_match", "langid", "perplexity",
@@ -563,9 +563,92 @@ def _curate_mode(argv: list[str]) -> int:
     return 0
 
 
+def _train_classifier_mode(argv: list[str]) -> int:
+    """`train-classifier <labeled.parquet> --output MODEL.json
+    [--dim N] [--epochs N] [--lr F] [--text-col text]
+    [--label-col label] [--hasher xxhash|md5]` — train the
+    hashed-feature logreg on a labeled parquet (text + 0/1 label) and
+    write the model file the curate --classifier stage consumes,
+    closing the deployed train->score loop. Prints one JSON line with
+    the training-set accuracy at threshold 0.5 (observe-free: one
+    scoring pass over the labeled set, which is small by contract)."""
+    paths: list[str] = []
+    opts: dict[str, str] = {}
+    it = iter(argv[1:])
+    for a in it:
+        if a.startswith("--"):
+            opts[a[2:].replace("-", "_")] = next(it, "")
+        else:
+            paths.append(a)
+    if not paths or "output" not in opts:
+        print("usage: train-classifier <labeled.parquet> --output "
+              "MODEL.json [--dim N] [--epochs N] [--lr F] "
+              "[--text-col text] [--label-col label] "
+              "[--hasher xxhash|md5]", file=sys.stderr)
+        return 2
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F  # noqa: N812
+
+    spark = SparkSession.builder.master(
+        os.environ.get("SPARK_GRAFT_MASTER", "local[8]")
+    ).config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    from fingerprint_spark.deploy import ensure_pyfiles
+
+    ensure_pyfiles(spark)
+    from fingerprint_spark.operators.quality_classifier import (
+        quality_score_arrow,
+        train_quality_logreg,
+    )
+
+    text_col = opts.get("text_col", "text")
+    label_col = opts.get("label_col", "label")
+    hasher = opts.get("hasher", "xxhash")
+    df = spark.read.parquet(paths[0])
+    for c in (text_col, label_col):
+        if c not in df.columns:
+            print(f"error: column {c!r} not in {paths[0]}",
+                  file=sys.stderr)
+            return 2
+    try:
+        model = train_quality_logreg(
+            df, text_col=text_col, label_col=label_col,
+            dim=int(opts.get("dim", "4096")),
+            epochs=int(opts.get("epochs", "8")),
+            lr=float(opts.get("lr", "2.0")),
+            hasher=hasher,
+        )
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    model["hasher"] = hasher
+    scored = quality_score_arrow(
+        df.select(text_col, label_col), model, text_col=text_col,
+        hasher=hasher,
+    )
+    acc_row = scored.select(
+        F.avg(
+            ((F.col("quality_prob") >= 0.5).cast("int")
+             == F.col(label_col).cast("int")).cast("double")
+        ).alias("acc"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]  # driver-bounded: 1 row
+    with open(opts["output"], "w") as fh:
+        json.dump(model, fh, sort_keys=True)
+    print(json.dumps({
+        "metric": "train_classifier", "output": opts["output"],
+        "n_labeled": acc_row["n"], "dim": model["dim"],
+        "hasher": hasher, "n_weights": len(model["weights"]),
+        "train_accuracy": round(float(acc_row["acc"]), 4),
+    }))
+    return 0
+
+
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "curate":
         return _curate_mode(sys.argv[1:])
+    if len(sys.argv) > 1 and sys.argv[1] == "train-classifier":
+        return _train_classifier_mode(sys.argv[1:])
     if len(sys.argv) > 1 and sys.argv[1] == "compile":
         return _compile_mode(sys.argv[1:])
     if len(sys.argv) > 1 and sys.argv[1] == "witness":

@@ -560,3 +560,64 @@ def test_curate_cli_justext_and_classifier_stages(spark, tmp_path):
     assert all(
         got[f"https://h/{i}"]["quality_prob"] < 0.5 for i in range(1, 24, 2)
     )
+
+
+def test_train_classifier_cli_closes_the_loop(spark, tmp_path, capsys):
+    """`train-classifier labeled.parquet --output model.json` then
+    `curate --classifier model.json`: the deployed train->score loop
+    with no library code in between (in-process; the spark-submit
+    machinery is proven by the sibling tests)."""
+    import importlib.util
+    import sys
+
+    from fingerprint_spark.operators.quality_classifier import (
+        QUALITY_TRAIN_FIXTURE,
+    )
+
+    spec = importlib.util.spec_from_file_location(
+        "run_pipeline_mod_train",
+        os.path.join(REPO, "scripts", "run_pipeline.py"),
+    )
+    rp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rp)
+
+    labeled = str(tmp_path / "labeled.parquet")
+    spark.createDataFrame(
+        QUALITY_TRAIN_FIXTURE, "text string, label int"
+    ).write.parquet(labeled)
+    model_path = str(tmp_path / "model.json")
+    rc = rp._train_classifier_mode(
+        ["train-classifier", labeled, "--output", model_path,
+         "--dim", "1024", "--epochs", "8"])
+    assert rc == 0
+    line = [ln for ln in capsys.readouterr().out.splitlines()
+            if ln.startswith("{")][-1]
+    rec = json.loads(line)
+    assert rec["train_accuracy"] >= 0.95 and rec["n_labeled"] == len(
+        QUALITY_TRAIN_FIXTURE)
+    with open(model_path) as f:
+        model = json.load(f)
+    assert model["dim"] == 1024 and model["hasher"] == "xxhash"
+
+    corpus = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(
+        [(f"https://h/{i}", t) for i, (t, _y) in
+         enumerate(QUALITY_TRAIN_FIXTURE)],
+        "url string, text string",
+    ).write.parquet(corpus)
+    out = str(tmp_path / "out")
+    rc2 = rp._curate_mode(
+        ["curate", corpus, "--output", out, "--chunk-words", "5",
+         "--classifier", model_path])
+    assert rc2 == 0
+    rec2 = json.loads(
+        [ln for ln in capsys.readouterr().out.splitlines()
+         if ln.startswith("{")][-1])
+    n_pos = sum(1 for _t, y in QUALITY_TRAIN_FIXTURE if y == 1)
+    assert rec2["classifier_keep"] == n_pos
+
+    # bad inputs: clean errors, not tracebacks
+    assert rp._train_classifier_mode(["train-classifier"]) == 2
+    assert rp._train_classifier_mode(
+        ["train-classifier", labeled, "--output", model_path,
+         "--text-col", "nope"]) == 2

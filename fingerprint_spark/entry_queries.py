@@ -750,14 +750,13 @@ def sql_quality_score() -> str:
         train_quality_logreg_py,
     )
 
+    from .operators.quality_classifier import _model_dense
+
     model = train_quality_logreg_py(
         QUALITY_TRAIN_FIXTURE, dim=_CLF_DIM, epochs=_CLF_EPOCHS,
         lr=_CLF_LR, grad_round_dp=_CLF_GRAD_DP,
     )
-    dense = [0.0] * _CLF_DIM
-    for i, wv in model["weights"].items():
-        dense[int(i)] = float(wv)
-    arr = "[" + ", ".join(repr(v) for v in dense) + "]"
+    arr = "[" + ", ".join(repr(v) for v in _model_dense(model)) + "]"
     return f"""
 WITH w AS (SELECT {arr}::DOUBLE[] AS warr),
 feats AS (

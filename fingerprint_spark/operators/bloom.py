@@ -252,13 +252,27 @@ def bloom_probe(
     if df.isStreaming:
         # the sharded path's groupBy + join-back is a streaming-
         # incompatible aggregation; a stream either broadcasts or
-        # fails LOUDLY here instead of at query start (review finding)
+        # fails LOUDLY here instead of at query start — including on
+        # the AUTO path when the filter is beyond the broadcast cap
+        # (silently broadcasting a beyond-cap filter is the exact
+        # failure the guard exists to prevent; review finding r5b)
         if strategy == "sharded":
             raise ValueError(
                 "sharded bloom probe is batch-only (its membership "
                 "fold is a streaming-incompatible aggregation); "
                 "streams must use strategy='broadcast' with a filter "
                 "that fits the broadcast cap"
+            )
+        if (
+            strategy is None
+            and _bloom_strategy(n_bits, broadcast_cap_bytes) != "broadcast"
+        ):
+            raise ValueError(
+                f"streaming bloom probe with n_bits={n_bits} is beyond "
+                f"the broadcast cap ({broadcast_cap_bytes} B) and the "
+                "sharded path is batch-only — probe the stream against "
+                "a smaller filter, or route through foreachBatch into "
+                "the batch sharded path"
             )
         strategy = "broadcast"
     if strategy is None:

@@ -116,7 +116,12 @@ QUALITY_TRAIN_FIXTURE: list[tuple[str, int]] = [
 def words_array_col(text: Column) -> Column:
     """Lowercased ASCII-\\s word array — the ONE tokenizer both
     training and inference must share for the hashing trick to be
-    valid (same expression shape as entry_queries/dedup/curation)."""
+    valid (same expression shape as entry_queries/dedup/curation).
+    Contract note: F.lower delegates to the JVM's locale-default
+    toLowerCase, so JVM/Python tokenizer parity (_tokenize_py) assumes
+    a root-ish JVM locale — on tr_TR/az deployments set
+    -Duser.language=en (the standard Spark practice) or dotted/dotless
+    'i' words hash to different feature ids across the two kernels."""
     return F.filter(
         F.split(F.trim(F.lower(F.coalesce(text, F.lit("")))), r"\s+"),
         lambda w: w != "",
@@ -263,26 +268,20 @@ def quality_score_arrow(
     hasher='xxhash' shares the JVM feature ids exactly: functions/
     xxh64.py re-derives XXH64 bit-for-bit vs F.xxhash64 (tested), so
     Column-trained models score identically here."""
-    import hashlib
     import math
-    import re as _re
 
     if hasher not in ("xxhash", "md5"):
         raise ValueError(f"unknown feature hasher: {hasher!r}")
     dim = int(model["dim"])
     bias = float(model["bias"])
-    dense = [0.0] * dim
-    for idx, wv in model["weights"].items():
-        dense[int(idx)] = float(wv)
+    # built ONCE in the driver closure (ndarrays pickle fine); the UDF
+    # must not reconvert a 4096-element list per Arrow batch
+    weights = np.asarray(_model_dense(model))
 
     from ..functions.xxh64 import xxh64_signed
 
-    weights_list = dense
-    split = _re.compile(r"\s+", _re.ASCII).split
-
     @F.pandas_udf("double")
     def score(texts: pd.Series) -> pd.Series:
-        weights = np.asarray(weights_list)
         memo: dict[str, int] = {}  # per-batch word -> feature id
 
         def word_idx(w: str) -> int:
@@ -291,18 +290,13 @@ def quality_score_arrow(
                 if hasher == "xxhash":
                     idx = xxh64_signed(w.encode("utf-8")) % dim
                 else:
-                    idx = (
-                        int(hashlib.md5(
-                            ("f:" + w).encode()).hexdigest()[:15], 16)
-                        % dim
-                    )
+                    idx = _md5_word_id(w, dim)
                 memo[w] = idx
             return idx
 
         out = np.empty(len(texts), dtype=np.float64)
         for i, t in enumerate(texts):
-            words = split((t or "").strip().lower())
-            ids = {word_idx(w) for w in words if w}
+            ids = {word_idx(w) for w in _tokenize_py(t)}
             m = bias
             if ids:
                 m += float(weights[np.fromiter(
@@ -313,23 +307,52 @@ def quality_score_arrow(
     return df.withColumn(out_col, score(F.col(text_col)))
 
 
-def md5_feature_ids_py(text: str | None, dim: int) -> list[int]:
-    """Python twin of hashed_features_md5_col: same tokenizer (ASCII
-    \\s — str.split would split NBSP and diverge from Java/RE2),
-    same md5 prefix hash, distinct in first-occurrence order."""
-    import hashlib
+_TOKEN_SPLIT = None
+
+
+def _tokenize_py(text: str | None) -> list[str]:
+    """THE Python twin of words_array_col, character for character:
+    strip(' ') mirrors F.trim (which removes 0x20 ONLY — Python's
+    bare .strip() also eats NBSP/U+3000/controls and would hash
+    boundary tokens to different feature ids than the JVM, review
+    finding r5), str.lower matches the JVM's locale-default
+    toLowerCase on root-locale deployments (the documented contract),
+    and ASCII-\\s split matches Java regex \\s."""
     import re
 
-    words = [
-        w
-        for w in re.split(r"\s+", (text or "").strip().lower(),
-                          flags=re.ASCII)
-        if w
+    global _TOKEN_SPLIT
+    if _TOKEN_SPLIT is None:
+        _TOKEN_SPLIT = re.compile(r"\s+", re.ASCII).split
+    return [
+        w for w in _TOKEN_SPLIT((text or "").strip(" ").lower()) if w
     ]
+
+
+def _md5_word_id(w: str, dim: int) -> int:
+    """The single Python home of the md5 'f:'+word feature hash
+    (mirrors hashed_features_md5_col; three hand-synced copies was a
+    review finding)."""
+    import hashlib
+
+    return int(hashlib.md5(("f:" + w).encode()).hexdigest()[:15], 16) % dim
+
+
+def _model_dense(model: dict) -> list[float]:
+    """Dense weight vector from a model dict — shared by the Column
+    literal fold, the Arrow kernel, and oracle SQL generation."""
+    dense = [0.0] * int(model["dim"])
+    for idx, wv in model["weights"].items():
+        dense[int(idx)] = float(wv)
+    return dense
+
+
+def md5_feature_ids_py(text: str | None, dim: int) -> list[int]:
+    """Python twin of hashed_features_md5_col: same tokenizer
+    (_tokenize_py), same md5 prefix hash, distinct in first-occurrence
+    order."""
     out: dict[int, None] = {}
-    for w in words:
-        h = int(hashlib.md5(("f:" + w).encode()).hexdigest()[:15], 16)
-        out[h % dim] = None
+    for w in _tokenize_py(text):
+        out[_md5_word_id(w, dim)] = None
     return list(out)
 
 
@@ -392,10 +415,7 @@ def quality_score(
         # DENSE array literal: element_at is O(1) (a map literal's
         # GetMapValue is a linear scan — O(words x dim) per doc on the
         # corpus pass); 1-based element_at, idx+1
-        dense = [0.0] * model["dim"]
-        for idx, wv in model["weights"].items():
-            dense[int(idx)] = float(wv)
-        warr = F.array(*[F.lit(v) for v in dense])
+        warr = F.array(*[F.lit(v) for v in _model_dense(model)])
         margin = F.aggregate(
             "__feats",
             F.lit(float(model["bias"])),

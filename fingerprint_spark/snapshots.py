@@ -113,8 +113,16 @@ class _HadoopFS:
        visibility window of a direct create+write).
     4. Read-back verify of the attempt token: if a weak store let two
        claimants through its micro-race, the rename swaps are still
-       atomic and whole, and exactly the writer whose content survived
-       counts itself the winner; the other retries on the next id."""
+       atomic and whole, and the writer whose content did not survive
+       retries on the next id. HONEST LIMIT: the verify is itself a
+       read-after-rename, so on a store with a non-atomic claim AND an
+       overwriting rename (RawLocalFileSystem, bare S3A) an adversarial
+       interleaving (A verifies before B's overwriting rename lands)
+       can still double-commit one id; on HDFS the claim create is
+       namenode-atomic and this cannot happen. Exactly-once on weak
+       object stores needs their conditional-put primitive (S3
+       If-None-Match / GCS generation-match) — the named production
+       analog, same protocol shape."""
 
     def __init__(self, any_uri: str):
         # getActiveSession is THREAD-local; racing commit threads fall
@@ -189,7 +197,11 @@ class _HadoopFS:
         finally:
             out.close()
         if not self._fs.rename(self._Path(tmp), self._Path(final)):
+            # we held the claim but could not publish: release BOTH,
+            # or our own claim would wedge the id forever (review
+            # finding r5b — the caller retries on the recomputed id)
             self._fs.delete(self._Path(tmp), False)
+            self._fs.delete(self._Path(final + ".claim"), False)
             return False
         try:
             return self.read_text(final) == content
@@ -221,7 +233,11 @@ def _fs_for(table_path: str):
     on HDFS, so the metadata must go through the Hadoop client for the
     SAME path or commit would publish an empty file list scanned from
     a nonexistent local dir (silent data loss — the hazard the old
-    _require_local guard refused)."""
+    _require_local guard refused). CAVEAT: with NO live SparkSession a
+    scheme-less path falls back to the local backend (defaultFS is
+    unknowable), so the same string could resolve differently across
+    calls in one workflow — production tables should use an explicit
+    URI scheme (file:///, hdfs://...) to pin resolution."""
     if _URI_RE.match(table_path):
         return _HadoopFS(table_path)
     spark = (
@@ -277,12 +293,18 @@ def commit_snapshot(
     table_path: str,
     mode: str = "append",
     max_retries: int = 50,
+    publish_wait_secs: float = 10.0,
 ) -> dict:
     """Write df's rows as new immutable data files + publish the next
     snapshot manifest atomically. mode='append' carries the parent's
     file list forward; 'overwrite' starts fresh (the old files stay on
     disk — pinned readers of older snapshots keep working; reclaim is
-    expire_snapshots' job). Returns the committed manifest."""
+    expire_snapshots' job). Returns the committed manifest.
+
+    publish_wait_secs: how long a race loser waits for the winner's
+    manifest to appear before concluding the claim is stale. Raise it
+    on slow object stores where writing a huge manifest between claim
+    and rename can legitimately exceed the default."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     fs = _fs_for(table_path)
@@ -337,14 +359,18 @@ def commit_snapshot(
         # window — and a writer that CRASHED between claim and rename
         # would wedge the id forever, so surface that as an actionable
         # error instead of spinning through max_retries
-        deadline = time.monotonic() + 10.0
+        deadline = time.monotonic() + publish_wait_secs
         while not fs.exists(final):
             if time.monotonic() > deadline:
                 raise RuntimeError(
                     f"snapshot id {snapshot_id} of {table_path} is "
-                    f"claimed but was never published — a writer "
-                    f"crashed mid-commit; remove the stale "
-                    f"'{final}.claim' to unblock the table"
+                    f"claimed but not yet published after "
+                    f"{publish_wait_secs}s — either a writer crashed "
+                    f"mid-commit (then remove the stale "
+                    f"'{final}.claim' to unblock the table) or a live "
+                    f"writer is slower than publish_wait_secs (then "
+                    f"retry with a larger value; do NOT remove a live "
+                    f"writer's claim)"
                 )
             time.sleep(0.025)
     raise RuntimeError(

@@ -275,3 +275,18 @@ def test_bloom_filter_persists_as_snapshot_table(spark, tmp_path):
     final = read_snapshot(spark, t)
     probed = bloom_probe(_urls(spark, 0, 1200), final, "url", N_BITS, K)
     assert probed.filter("maybe_member = 0").count() == 0
+
+
+def test_streaming_beyond_cap_auto_refused(spark, tmp_path):
+    """Review finding r5b: a STREAMING probe whose filter is beyond
+    the broadcast cap must refuse loudly on the auto path too —
+    silently broadcasting a beyond-cap filter is the failure the
+    guard exists to prevent."""
+    bloom = bloom_build(_urls(spark, 0, 50), "url", 1 << 32, K)
+    src = str(tmp_path / "src")
+    _urls(spark, 0, 10).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("url string").parquet(src)
+    with pytest.raises(ValueError, match="beyond"):
+        bloom_probe(stream, bloom, "url", 1 << 32, K)
+    with pytest.raises(ValueError, match="batch-only"):
+        bloom_probe(stream, bloom, "url", 1 << 32, K, strategy="sharded")

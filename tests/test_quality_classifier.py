@@ -129,7 +129,15 @@ def test_arrow_inference_parity_and_plan(spark):
         F.monotonically_increasing_id().alias("doc_id"), "text"
     ).unionByName(
         spark.createDataFrame(
-            [(9001, None), (9002, "")], "doc_id long, text string"
+            [(9001, None), (9002, ""),
+             # NBSP/ideographic-space boundary tokens: F.trim strips
+             # 0x20 ONLY, so the Python twin must use strip(' ') not
+             # bare strip() (review finding r5) — these rows diverge
+             # if either kernel strips unicode whitespace
+             (9003, "hello\u00a0 spam words\u00a0"),
+             (9004, "\u3000casino bonus\u3000"),
+             (9005, "  leading and trailing spaces  ")],
+            "doc_id long, text string"
         )
     )
     for hasher in ("xxhash", "md5"):

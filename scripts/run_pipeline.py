@@ -93,7 +93,7 @@ def _display_surfaces(argv: list[str]) -> int | None:
             "schema_version": "spark-operator.v0",
             "capabilities": {
                 "formats": ["html", "markdown", "text", "csv", "xlsx", "pdf"],
-                "modes": ["run", "resume", "revalidate", "diagnose", "compile", "infer", "witness", "curate", "train-classifier"],
+                "modes": ["run", "resume", "revalidate", "diagnose", "compile", "infer", "witness", "curate", "train-classifier", "frontier"],
             },
             "pipeline": [
                 "parse", "template_match", "langid", "perplexity",
@@ -644,9 +644,117 @@ def _train_classifier_mode(argv: list[str]) -> int:
     return 0
 
 
+def _frontier_mode(argv: list[str]) -> int:
+    """`frontier <filter-table> (--build CORPUS.parquet | --merge
+    DELTA.parquet | --probe INCOMING.parquet --output DIR)
+    [--key-col url] [--n-bits N] [--k K]` — the incremental crawl
+    frontier as a deployment surface: the Bloom filter lives in a
+    snapshot table (atomic versioned commits), --build creates
+    filter(1) from a corpus, --merge folds a url delta into the
+    current filter and commits the next snapshot (cost scales with
+    |filter| + |delta|, never the corpus), --probe writes the
+    definitely-new rows of an incoming crawl (bloom miss; zero false
+    negatives) plus a JSON counter line. Probe strategy is the auto
+    size guard (broadcast under the cap, sharded beyond it)."""
+    paths: list[str] = []
+    opts: dict[str, str] = {}
+    it = iter(argv[1:])
+    for a in it:
+        if a.startswith("--"):
+            opts[a[2:].replace("-", "_")] = next(it, "")
+        else:
+            paths.append(a)
+    n_actions = sum(x in opts for x in ("build", "merge", "probe"))
+    if not paths or n_actions != 1 or (
+        "probe" in opts and "output" not in opts
+    ):
+        print("usage: frontier <filter-table> (--build CORPUS.parquet "
+              "| --merge DELTA.parquet | --probe INCOMING.parquet "
+              "--output DIR) [--key-col url] [--n-bits N] [--k K]",
+              file=sys.stderr)
+        return 2
+    from pyspark.sql import Observation, SparkSession
+    from pyspark.sql import functions as F  # noqa: N812
+
+    spark = SparkSession.builder.master(
+        os.environ.get("SPARK_GRAFT_MASTER", "local[8]")
+    ).config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    from fingerprint_spark.deploy import ensure_pyfiles
+
+    ensure_pyfiles(spark)
+    from fingerprint_spark.operators.bloom import (
+        bloom_build,
+        bloom_merge,
+        bloom_probe,
+    )
+    from fingerprint_spark.snapshots import (
+        commit_snapshot,
+        load_manifest,
+        read_snapshot,
+        witness_read,
+    )
+
+    table = paths[0]
+    key_col = opts.get("key_col", "url")
+    n_bits = int(opts.get("n_bits", str(1 << 24)))
+    k = int(opts.get("k", "5"))
+    try:
+        if "build" in opts:
+            corpus = spark.read.parquet(opts["build"])
+            filt = bloom_build(corpus, key_col, n_bits, k)
+            manifest = commit_snapshot(filt, table, mode="overwrite")
+            print(json.dumps({
+                "metric": "frontier_build", "filter_table": table,
+                "snapshot_id": manifest["snapshot_id"],
+                "n_bits": n_bits, "k": k,
+                "filter_rows": manifest["n_rows"],
+            }))
+            return 0
+        if "merge" in opts:
+            manifest_in = load_manifest(table)
+            filt = read_snapshot(spark, table, manifest_in["snapshot_id"])
+            witness_read(table, manifest_in, tool="frontier-merge")
+            delta = spark.read.parquet(opts["merge"])
+            merged = bloom_merge(filt, delta, key_col, n_bits, k)
+            manifest = commit_snapshot(merged, table, mode="overwrite")
+            print(json.dumps({
+                "metric": "frontier_merge", "filter_table": table,
+                "parent_snapshot_id": manifest_in["snapshot_id"],
+                "snapshot_id": manifest["snapshot_id"],
+                "filter_rows": manifest["n_rows"],
+            }))
+            return 0
+        manifest_in = load_manifest(table)
+        filt = read_snapshot(spark, table, manifest_in["snapshot_id"])
+        witness_read(table, manifest_in, tool="frontier-probe")
+        incoming = spark.read.parquet(opts["probe"])
+        tagged = bloom_probe(incoming, filt, key_col, n_bits, k)
+        obs = Observation("frontier")
+        tagged = tagged.observe(
+            obs,
+            F.count(F.lit(1)).alias("incoming"),
+            F.sum("maybe_member").alias("maybe_seen"),
+        )
+        new = tagged.filter(F.col("maybe_member") == 0).drop("maybe_member")
+        new.write.mode("overwrite").parquet(opts["output"])
+        print(json.dumps({
+            "metric": "frontier_probe", "filter_table": table,
+            "snapshot_id": manifest_in["snapshot_id"], **obs.get,
+            "new": int(obs.get["incoming"] - obs.get["maybe_seen"]),
+            "output": opts["output"],
+        }))
+        return 0
+    except (ValueError, FileNotFoundError) as e:
+        print(f"error: frontier: {e}", file=sys.stderr)
+        return 2
+
+
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "curate":
         return _curate_mode(sys.argv[1:])
+    if len(sys.argv) > 1 and sys.argv[1] == "frontier":
+        return _frontier_mode(sys.argv[1:])
     if len(sys.argv) > 1 and sys.argv[1] == "train-classifier":
         return _train_classifier_mode(sys.argv[1:])
     if len(sys.argv) > 1 and sys.argv[1] == "compile":

@@ -164,3 +164,41 @@ def test_arrow_inference_parity_and_plan(spark):
 
     with pytest.raises(ValueError, match="hasher"):
         quality_score_arrow(docs, model, hasher="sha1")
+
+
+def test_tokenizer_python_twin_matches_column_on_adversarial_text(spark):
+    """_tokenize_py must match words_array_col character-for-character
+    on adversarial inputs: unicode whitespace at boundaries and
+    between words (NBSP, U+3000, NEL, vertical tab is ASCII-\\s),
+    case-folding edge chars (ß, İ, dotless ı), controls, and
+    empties. One Spark job compares all cases at once."""
+    from fingerprint_spark.operators.quality_classifier import (
+        _tokenize_py,
+        words_array_col,
+    )
+
+    cases = [
+        "",
+        " ",
+        " ",
+        "plain ascii words",
+        "  leading  and   trailing  ",
+        "hello world",           # NBSP inside a token pair
+        " edge ",           # NBSP at boundaries
+        "　wide　space　",
+        "tab\tsplit\nnewline\x0bvtab",
+        "NEL\x85joined",              # U+0085 is not ASCII \s
+        "Straße GROSS İstanbul ıı",
+        "MiXeD CaSe Token",
+        "\x1cfile\x1dgroup\x1erecord\x1funit",  # C0 separators
+        "ünïcödé wörds",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "t string")
+    got = {
+        r["t"]: list(r["w"])
+        for r in df.select(
+            "t", words_array_col(F.col("t")).alias("w")
+        ).collect()
+    }
+    for c in cases:
+        assert got[c] == _tokenize_py(c), repr(c)

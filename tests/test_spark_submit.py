@@ -621,3 +621,72 @@ def test_train_classifier_cli_closes_the_loop(spark, tmp_path, capsys):
     assert rp._train_classifier_mode(
         ["train-classifier", labeled, "--output", model_path,
          "--text-col", "nope"]) == 2
+
+
+def test_frontier_cli_build_merge_probe_cycle(spark, tmp_path, capsys,
+                                              monkeypatch):
+    """`frontier` subcommand: the incremental crawl cycle as a
+    deployment surface — build filter(1) from a corpus snapshot, merge
+    a delta into filter(2) (cost scales with the delta), probe an
+    incoming crawl against the CURRENT filter and emit only the
+    definitely-new urls (zero false negatives), with witness rows
+    naming the filter snapshots consumed."""
+    import importlib.util
+
+    from pyspark.sql import functions as F
+
+    spec = importlib.util.spec_from_file_location(
+        "run_pipeline_mod_frontier",
+        os.path.join(REPO, "scripts", "run_pipeline.py"),
+    )
+    rp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rp)
+
+    ledger = str(tmp_path / "witness.jsonl")
+    monkeypatch.setenv("FINGERPRINT_SPARK_WITNESS", ledger)
+
+    def urls(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("https://h/"), F.col("id")).alias("url"))
+
+    corpus = str(tmp_path / "corpus.parquet")
+    urls(0, 3000).write.parquet(corpus)
+    delta = str(tmp_path / "delta.parquet")
+    urls(3000, 3500).write.parquet(delta)
+    incoming = str(tmp_path / "incoming.parquet")
+    urls(2500, 4500).write.parquet(incoming)   # 1000 seen + 1000 new
+
+    tbl = str(tmp_path / "frontier_filter")
+
+    def last_json():
+        return json.loads(
+            [ln for ln in capsys.readouterr().out.splitlines()
+             if ln.startswith("{")][-1])
+
+    assert rp._frontier_mode(
+        ["frontier", tbl, "--build", corpus]) == 0
+    rec = last_json()
+    assert rec["snapshot_id"] == 1 and rec["filter_rows"] > 0
+
+    assert rp._frontier_mode(
+        ["frontier", tbl, "--merge", delta]) == 0
+    rec = last_json()
+    assert (rec["parent_snapshot_id"], rec["snapshot_id"]) == (1, 2)
+
+    out = str(tmp_path / "new_urls")
+    assert rp._frontier_mode(
+        ["frontier", tbl, "--probe", incoming, "--output", out]) == 0
+    rec = last_json()
+    assert rec["incoming"] == 2000 and rec["snapshot_id"] == 2
+    got = {r["url"] for r in spark.read.parquet(out).collect()}
+    # zero false negatives: nothing below 3500 survives the probe
+    assert not any(int(u.rsplit("/", 1)[1]) < 3500 for u in got)
+    assert len(got) >= 995 and rec["new"] == len(got)
+    with open(ledger) as f:
+        tools = [json.loads(ln)["tool"] for ln in f if ln.strip()]
+    assert "frontier-merge" in tools and "frontier-probe" in tools
+
+    # usage + missing-filter errors are clean
+    assert rp._frontier_mode(["frontier", tbl]) == 2
+    assert rp._frontier_mode(
+        ["frontier", str(tmp_path / "nope"), "--merge", delta]) == 2

@@ -202,3 +202,28 @@ def test_tokenizer_python_twin_matches_column_on_adversarial_text(spark):
     }
     for c in cases:
         assert got[c] == _tokenize_py(c), repr(c)
+
+
+def test_xxh64_randomized_cross_check(spark):
+    """300 seeded-random strings (mixed unicode planes, lengths 0-200
+    crossing every XXH64 stripe boundary) hashed identically by the
+    Python port and the JVM — one Spark job, not per-example."""
+    import random
+
+    from fingerprint_spark.functions.xxh64 import xxh64_signed
+
+    rng = random.Random(0xF00D)
+    pool = (
+        "abcdefghijklmnopqrstuvwxyz0123456789 \t\n"
+        "äöüßéñç中文字日本語한국어🙂🚀 　"
+    )
+    cases = [
+        "".join(rng.choice(pool) for _ in range(rng.randrange(0, 201)))
+        for _ in range(300)
+    ]
+    rows = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, w string"
+    ).select("i", F.xxhash64("w").alias("h")).collect()
+    got = {r["i"]: r["h"] for r in rows}
+    for i, c in enumerate(cases):
+        assert xxh64_signed(c.encode("utf-8")) == got[i], (i, repr(c[:20]))

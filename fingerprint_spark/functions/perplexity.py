@@ -62,6 +62,111 @@ def train_char_ngram(texts: list[str], order: int = DEFAULT_ORDER) -> NGramModel
     return NGramModel(order=order, logp=tuple(sorted(logp.items())), backoff_logp=backoff)
 
 
+def train_char_ngram_df(
+    df,
+    text_col: str = "text",
+    order: int = DEFAULT_ORDER,
+    min_count: int = 1,
+    max_grams: int | None = None,
+) -> NGramModel:
+    """DataFrame-native distributed trainer — the scale path of
+    train_char_ngram (which needs every training text collected to the
+    driver; at a 100 TB in-domain reference corpus only the counting
+    can be distributed, never the texts). One explode + one groupBy:
+    the shuffle carries (gram string, long) pairs with map-side
+    partial aggregation; only the MODEL (bounded by vocab^order, and
+    further by min_count / max_grams) ever reaches the driver.
+
+    Exact-parity contract (pinned by pytest): with min_count=1 and no
+    cap, the model equals train_char_ngram over the same texts — same
+    counts -> same add-one log-probabilities -> same floats. min_count
+    / max_grams drop ENTRIES only (those grams fall back to the same
+    backoff logp as unseen grams); context totals and vocabulary are
+    computed BEFORE trimming, so retained probabilities are unchanged
+    by trimming. max_grams keeps the most frequent grams
+    (deterministic ties: lexicographic gram order)."""
+    from pyspark.sql import functions as SF
+
+    s = SF.concat(
+        SF.lit("\x02" * (order - 1)),
+        SF.lower(SF.coalesce(SF.col(text_col), SF.lit(""))),
+        SF.lit("\x03"),
+    )
+    base = df.select(s.alias("__s"))
+    grams = base.select(
+        SF.explode(
+            SF.expr(
+                f"transform(sequence({order}, length(__s)), "
+                f"i -> substring(__s, i - {order - 1}, {order}))"
+            )
+        ).alias("gram")
+    )
+    counts = grams.groupBy("gram").agg(SF.count("*").alias("c"))
+    # vocabulary = distinct chars of the padded text (matches the
+    # driver trainer, which adds every char of s including the pads)
+    v = (
+        base.select(
+            SF.explode(
+                SF.expr(
+                    "transform(sequence(1, length(__s)), "
+                    "i -> substring(__s, i, 1))"
+                )
+            ).alias("ch")
+        )
+        .agg(SF.countDistinct("ch").alias("v"))
+        .collect()[0]["v"]  # driver-bounded: 1 row
+    )
+    v = max(int(v), 1)
+    ctx = (
+        counts.groupBy(SF.expr(f"substring(gram, 1, {order - 1})").alias("__ctx"))
+        .agg(SF.sum("c").alias("n"))
+    )
+    kept = counts.filter(SF.col("c") >= min_count)
+    if max_grams is not None:
+        from ..operators.topk import ranked_topk
+
+        kept = ranked_topk(
+            kept, [SF.desc("c"), SF.asc("gram")], max_grams, key="gram"
+        ).drop("rank")
+    rows = (
+        kept.join(ctx, SF.expr(f"substring(gram, 1, {order - 1})") == SF.col("__ctx"))
+        .select("gram", "c", "n")
+        .collect()  # driver-bounded: <= max_grams (or vocab^order)
+    )
+    logp = {
+        r["gram"]: math.log((int(r["c"]) + 1.0) / (int(r["n"]) + v))
+        for r in rows
+    }
+    backoff = math.log(1.0 / (v * 4))
+    return NGramModel(
+        order=order, logp=tuple(sorted(logp.items())), backoff_logp=backoff
+    )
+
+
+def model_to_json(model: NGramModel) -> str:
+    import json
+
+    return json.dumps(
+        {
+            "order": model.order,
+            "backoff_logp": model.backoff_logp,
+            "logp": dict(model.logp),
+        },
+        sort_keys=True,
+    )
+
+
+def model_from_json(payload: str) -> NGramModel:
+    import json
+
+    d = json.loads(payload)
+    return NGramModel(
+        order=int(d["order"]),
+        logp=tuple(sorted(d["logp"].items())),
+        backoff_logp=float(d["backoff_logp"]),
+    )
+
+
 def score_text(model_dict: dict[str, float], order: int, backoff: float, text: str) -> float:
     """Per-char perplexity: exp(-avg logp)."""
     s = ("\x02" * (order - 1)) + (text or "").lower()[:4000] + "\x03"

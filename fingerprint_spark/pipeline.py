@@ -215,6 +215,7 @@ def quality_filter_text(
     target_lang: str = "en",
     ppl_threshold: float = DEFAULT_PPL_THRESHOLD,
     with_ppl: bool = False,
+    ppl_model: NGramModel | None = None,
 ) -> DataFrame:
     """Text-only variant (no html parse): langid -> heuristics -> scrub.
 
@@ -234,7 +235,9 @@ def quality_filter_text(
     df = df.withColumn("scrub", scrub_counts(text))
     df = df.withColumn("scrubbed_text", scrub_text(text))
     if with_ppl:
-        df = df.withColumn("ppl", perplexity_col(text, default_ppl_model()))
+        df = df.withColumn(
+            "ppl", perplexity_col(text, ppl_model or default_ppl_model())
+        )
     heur_fail = F.coalesce(
         *[F.when(~F.col("flags")[n], F.lit(n)) for n in HEURISTIC_FLAGS],
         F.lit(None).cast("string"),

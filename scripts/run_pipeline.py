@@ -93,7 +93,7 @@ def _display_surfaces(argv: list[str]) -> int | None:
             "schema_version": "spark-operator.v0",
             "capabilities": {
                 "formats": ["html", "markdown", "text", "csv", "xlsx", "pdf"],
-                "modes": ["run", "resume", "revalidate", "diagnose", "compile", "infer", "witness", "curate", "train-classifier", "frontier"],
+                "modes": ["run", "resume", "revalidate", "diagnose", "compile", "infer", "witness", "curate", "train-classifier", "train-lm", "frontier"],
             },
             "pipeline": [
                 "parse", "template_match", "langid", "perplexity",
@@ -378,6 +378,8 @@ def _curate_mode(argv: list[str]) -> int:
               "[--decontam-n N] [--text-col text] [--key-col url] "
               "[--justext  (DOM boilerplate strip; needs an html col)] "
               "[--classifier MODEL.json [--classifier-threshold P]] "
+              "[--ppl-model LM.json [--ppl-threshold F]  (train-lm "
+              "output; perplexity gate)] "
               "[--shards N  (audited hash-sharded output + _MANIFEST)] "
               "[--input-snapshot N|current  (pinned Iceberg-style read)] "
               "[--snapshot-output TABLE_DIR [--snapshot-mode "
@@ -453,7 +455,31 @@ def _curate_mode(argv: list[str]) -> int:
             "n_good", "n_bad",
         )
         df = df.drop(text_col).join(bp, key_col)
-    quality = quality_filter_text(df, text_col=text_col, url_col=key_col)
+    ppl_model = None
+    if "ppl_model" in opts:
+        # opt-in trained perplexity gate: the model file comes from
+        # `train-lm` (distributed n-gram counting); the threshold
+        # folds into keep/drop_reason inside the quality chain
+        from fingerprint_spark.functions.perplexity import (
+            DEFAULT_PPL_THRESHOLD,
+            model_from_json,
+        )
+
+        try:
+            with open(opts["ppl_model"]) as fh:
+                ppl_model = model_from_json(fh.read())
+        except (OSError, ValueError, KeyError) as e:
+            print(f"error: --ppl-model: {e}", file=sys.stderr)
+            return 2
+        quality = quality_filter_text(
+            df, text_col=text_col, url_col=key_col, with_ppl=True,
+            ppl_model=ppl_model,
+            ppl_threshold=float(
+                opts.get("ppl_threshold", str(DEFAULT_PPL_THRESHOLD))
+            ),
+        )
+    else:
+        quality = quality_filter_text(df, text_col=text_col, url_col=key_col)
     base = quality.select(
         key_col,
         F.col("keep").cast("int").alias("keep_quality"),
@@ -540,6 +566,12 @@ def _curate_mode(argv: list[str]) -> int:
                  >= float(opts.get("classifier_threshold", "0.5"))
                  ).cast("int")
             ).alias("classifier_keep")
+        )
+    if "ppl_model" in opts:
+        counters.append(
+            F.sum(
+                (F.col("drop_reason") == "perplexity").cast("int")
+            ).alias("ppl_dropped")
         )
     out = out.observe(obs, *counters)
     if "snapshot_output" in opts:
@@ -640,6 +672,63 @@ def _train_classifier_mode(argv: list[str]) -> int:
         "n_labeled": acc_row["n"], "dim": model["dim"],
         "hasher": hasher, "n_weights": len(model["weights"]),
         "train_accuracy": round(float(acc_row["acc"]), 4),
+    }))
+    return 0
+
+
+def _train_lm_mode(argv: list[str]) -> int:
+    """`train-lm <corpus.parquet> --output MODEL.json [--order N]
+    [--min-count N] [--max-grams N] [--text-col text]` — train the
+    char n-gram perplexity model DISTRIBUTED (one explode + one
+    groupBy; the shuffle carries (gram, count) pairs, only the model
+    reaches the driver — the driver-side trainer would collect every
+    training text) and write the JSON model the curate --ppl-model
+    stage consumes."""
+    paths: list[str] = []
+    opts: dict[str, str] = {}
+    it = iter(argv[1:])
+    for a in it:
+        if a.startswith("--"):
+            opts[a[2:].replace("-", "_")] = next(it, "")
+        else:
+            paths.append(a)
+    if not paths or "output" not in opts:
+        print("usage: train-lm <corpus.parquet> --output MODEL.json "
+              "[--order N] [--min-count N] [--max-grams N] "
+              "[--text-col text]", file=sys.stderr)
+        return 2
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.master(
+        os.environ.get("SPARK_GRAFT_MASTER", "local[8]")
+    ).config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    from fingerprint_spark.deploy import ensure_pyfiles
+
+    ensure_pyfiles(spark)
+    from fingerprint_spark.functions.perplexity import (
+        model_to_json,
+        train_char_ngram_df,
+    )
+
+    text_col = opts.get("text_col", "text")
+    df = spark.read.parquet(paths[0])
+    if text_col not in df.columns:
+        print(f"error: column {text_col!r} not in {paths[0]}",
+              file=sys.stderr)
+        return 2
+    model = train_char_ngram_df(
+        df, text_col,
+        order=int(opts.get("order", "3")),
+        min_count=int(opts.get("min_count", "1")),
+        max_grams=(int(opts["max_grams"]) if "max_grams" in opts
+                   else None),
+    )
+    with open(opts["output"], "w") as fh:
+        fh.write(model_to_json(model))
+    print(json.dumps({
+        "metric": "train_lm", "output": opts["output"],
+        "order": model.order, "n_grams": len(model.logp),
     }))
     return 0
 
@@ -757,6 +846,8 @@ def main() -> int:
         return _frontier_mode(sys.argv[1:])
     if len(sys.argv) > 1 and sys.argv[1] == "train-classifier":
         return _train_classifier_mode(sys.argv[1:])
+    if len(sys.argv) > 1 and sys.argv[1] == "train-lm":
+        return _train_lm_mode(sys.argv[1:])
     if len(sys.argv) > 1 and sys.argv[1] == "compile":
         return _compile_mode(sys.argv[1:])
     if len(sys.argv) > 1 and sys.argv[1] == "witness":

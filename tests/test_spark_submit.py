@@ -690,3 +690,79 @@ def test_frontier_cli_build_merge_probe_cycle(spark, tmp_path, capsys,
     assert rp._frontier_mode(["frontier", tbl]) == 2
     assert rp._frontier_mode(
         ["frontier", str(tmp_path / "nope"), "--merge", delta]) == 2
+
+
+def test_train_lm_cli_and_ppl_gate(spark, tmp_path, capsys):
+    """`train-lm` (distributed n-gram counting) -> `curate --ppl-model`
+    perplexity gate: in-domain docs keep, out-of-domain gibberish
+    drops with drop_reason 'perplexity' and a ppl_dropped counter."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "run_pipeline_mod_lm",
+        os.path.join(REPO, "scripts", "run_pipeline.py"),
+    )
+    rp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rp)
+
+    clean = [
+        "the committee published its careful findings after a "
+        "detailed review of all available evidence and data",
+        "researchers at the university demonstrated that the new "
+        "method improves accuracy in the study considerably",
+        "students who practice retrieval while studying retain more "
+        "of the material than those who merely reread it",
+        "a balanced diet and regular exercise remain the most "
+        "reliable foundation for long term health and strength",
+    ] * 8
+    train = str(tmp_path / "clean.parquet")
+    spark.createDataFrame([(t,) for t in clean], "text string")\
+        .write.parquet(train)
+    lm = str(tmp_path / "lm.json")
+    assert rp._train_lm_mode(
+        ["train-lm", train, "--output", lm, "--order", "3"]) == 0
+    rec = json.loads(
+        [ln for ln in capsys.readouterr().out.splitlines()
+         if ln.startswith("{")][-1])
+    assert rec["n_grams"] > 100
+
+    # distributed trainer == driver trainer, exactly (scale path parity)
+    from fingerprint_spark.functions.perplexity import (
+        model_from_json, train_char_ngram,
+    )
+
+    with open(lm) as f:
+        m_cli = model_from_json(f.read())
+    assert m_cli == train_char_ngram(clean, order=3)
+
+    # in-domain docs: >= 50 words (the Gopher word-count gate) built
+    # from training vocabulary; out-of-domain: pseudo-English that
+    # PASSES langid (the ppl gate sits after it in the reason chain)
+    # but has char trigrams the model never saw
+    indoc = " ".join(clean[:4])
+    gib = ("thon quome wrend ploth brimbled the gorvan mestled pracht "
+           "onders whion stradle ") * 6
+    docs = [(f"https://h/{i}", indoc) for i in range(10)]
+    docs += [(f"https://h/x{i}", gib) for i in range(10)]
+    corpus = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(docs, "url string, text string")\
+        .write.parquet(corpus)
+    out = str(tmp_path / "out")
+    # threshold between the measured in-domain (~7) and pseudo-English
+    # (~27) per-char perplexities
+    assert rp._curate_mode(
+        ["curate", corpus, "--output", out, "--chunk-words", "5",
+         "--ppl-model", lm, "--ppl-threshold", "15"]) == 0
+    rec2 = json.loads(
+        [ln for ln in capsys.readouterr().out.splitlines()
+         if ln.startswith("{")][-1])
+    assert rec2["ppl_dropped"] == 10
+    got = {r["url"]: r for r in spark.read.parquet(out).collect()}
+    assert all(got[f"https://h/x{i}"]["drop_reason"] == "perplexity"
+               for i in range(10))
+    assert all(got[f"https://h/{i}"]["keep_quality"] == 1
+               for i in range(10))
+    # bad model path -> clean error
+    assert rp._curate_mode(
+        ["curate", corpus, "--output", out,
+         "--ppl-model", str(tmp_path / "nope.json")]) == 2

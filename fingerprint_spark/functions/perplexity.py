@@ -79,12 +79,16 @@ def train_char_ngram_df(
 
     Exact-parity contract (pinned by pytest): with min_count=1 and no
     cap, the model equals train_char_ngram over the same texts — same
-    counts -> same add-one log-probabilities -> same floats. min_count
-    / max_grams drop ENTRIES only (those grams fall back to the same
-    backoff logp as unseen grams); context totals and vocabulary are
-    computed BEFORE trimming, so retained probabilities are unchanged
-    by trimming. max_grams keeps the most frequent grams
-    (deterministic ties: lexicographic gram order)."""
+    counts -> same add-one log-probabilities -> same floats. (Like
+    words_array_col, parity assumes a root-ish JVM locale: F.lower is
+    the JVM's locale-default toLowerCase while the driver trainer and
+    score_text use Python str.lower — set -Duser.language=en on
+    tr_TR/az deployments.) min_count / max_grams drop ENTRIES only
+    (those grams fall back to the same backoff logp as unseen grams);
+    context totals and vocabulary are computed BEFORE trimming, so
+    retained probabilities are unchanged by trimming. max_grams keeps
+    the most frequent grams (deterministic ties: lexicographic gram
+    order)."""
     from pyspark.sql import functions as SF
 
     s = SF.concat(
@@ -101,15 +105,18 @@ def train_char_ngram_df(
             )
         ).alias("gram")
     )
-    counts = grams.groupBy("gram").agg(SF.count("*").alias("c"))
-    # vocabulary = distinct chars of the padded text (matches the
-    # driver trainer, which adds every char of s including the pads)
+    counts = grams.groupBy("gram").agg(SF.count("*").alias("c")).persist()
+    # vocabulary = distinct chars of the padded text. Every char of s
+    # appears in at least one gram (len(s) = order-1 pads + text + ETX
+    # >= order always), so the SMALL counts table — not a second full
+    # corpus scan — carries the exact vocab (review finding r5c: the
+    # dedicated per-char corpus job doubled training I/O)
     v = (
-        base.select(
+        counts.select(
             SF.explode(
                 SF.expr(
-                    "transform(sequence(1, length(__s)), "
-                    "i -> substring(__s, i, 1))"
+                    f"transform(sequence(1, {order}), "
+                    "i -> substring(gram, i, 1))"
                 )
             ).alias("ch")
         )
@@ -133,6 +140,7 @@ def train_char_ngram_df(
         .select("gram", "c", "n")
         .collect()  # driver-bounded: <= max_grams (or vocab^order)
     )
+    counts.unpersist()
     logp = {
         r["gram"]: math.log((int(r["c"]) + 1.0) / (int(r["n"]) + v))
         for r in rows

@@ -242,17 +242,23 @@ def quality_filter_text(
         *[F.when(~F.col("flags")[n], F.lit(n)) for n in HEURISTIC_FLAGS],
         F.lit(None).cast("string"),
     )
-    reason = F.when(
-        F.col("lang_detected") != target_lang,
-        F.concat(F.lit("langid:"), F.col("lang_detected")),
-    ).when(heur_fail.isNotNull(), F.concat(F.lit("heuristic:"), heur_fail))
-    if with_ppl:
-        reason = F.when(
+    # ONE reason chain with the ppl link conditionally inserted —
+    # building two whole chains duplicated the langid/heuristic
+    # clauses (review finding r5c)
+    clauses = [
+        (
             F.col("lang_detected") != target_lang,
             F.concat(F.lit("langid:"), F.col("lang_detected")),
-        ).when(F.col("ppl") > ppl_threshold, F.lit("perplexity")).when(
-            heur_fail.isNotNull(), F.concat(F.lit("heuristic:"), heur_fail)
-        )
+        ),
+    ]
+    if with_ppl:
+        clauses.append((F.col("ppl") > ppl_threshold, F.lit("perplexity")))
+    clauses.append(
+        (heur_fail.isNotNull(), F.concat(F.lit("heuristic:"), heur_fail))
+    )
+    reason = F.when(*clauses[0])
+    for cond, val in clauses[1:]:
+        reason = reason.when(cond, val)
     return df.withColumn("keep", reason.isNull()).withColumn("drop_reason", reason)
 
 

@@ -288,12 +288,21 @@ def load_manifest(
     )
 
 
+class SnapshotConflict(RuntimeError):
+    """The table advanced past ``expected_parent`` before this commit
+    could publish — the caller's read-modify-write (e.g. bloom-filter
+    merge) was computed against a stale snapshot and must re-read and
+    recompute, NOT blindly retry (a blind retry would silently drop
+    the concurrent writer's changes)."""
+
+
 def commit_snapshot(
     df: DataFrame,
     table_path: str,
     mode: str = "append",
     max_retries: int = 50,
     publish_wait_secs: float = 10.0,
+    expected_parent: int | None = None,
 ) -> dict:
     """Write df's rows as new immutable data files + publish the next
     snapshot manifest atomically. mode='append' carries the parent's
@@ -304,7 +313,13 @@ def commit_snapshot(
     publish_wait_secs: how long a race loser waits for the winner's
     manifest to appear before concluding the claim is stale. Raise it
     on slow object stores where writing a huge manifest between claim
-    and rename can legitimately exceed the default."""
+    and rename can legitimately exceed the default.
+
+    expected_parent: compare-and-swap guard for read-modify-write
+    commits — raise SnapshotConflict (instead of silently retrying on
+    the next id) if the current snapshot is no longer this value,
+    because the df being committed was DERIVED from that snapshot and
+    retrying verbatim would lose the concurrent writer's changes."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     fs = _fs_for(table_path)
@@ -322,6 +337,12 @@ def commit_snapshot(
 
     for _ in range(max_retries):
         parent = current_snapshot_id(table_path, fs)
+        if expected_parent is not None and parent != expected_parent:
+            raise SnapshotConflict(
+                f"{table_path}: current snapshot is {parent}, but this "
+                f"commit was derived from {expected_parent} — re-read "
+                f"the table and recompute before committing"
+            )
         snapshot_id = (parent or 0) + 1
         if mode == "append" and parent is not None:
             base = load_manifest(table_path, parent, fs)

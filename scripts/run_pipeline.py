@@ -289,34 +289,30 @@ def _witness_mode(argv: list[str]) -> int:
     return 0
 
 
-def _infer_mode(argv: list[str]) -> int:
-    """`infer <corpus.parquet> --id ID [--format html] [--min-confidence
-    F] [--content-col html]` — mine candidate assertions from a corpus
-    and print a deterministic .fp.yaml (reference infer subcommand,
-    tests/infer_subcommand.rs; input is a parquet corpus rather than a
-    file directory — the Spark-native shape)."""
-    # one pass: flags consume their value, everything else is positional
-    # (so `infer --id X corpus` and `infer corpus --id X` both work)
+def _parse_subcommand_argv(
+    argv: list[str], flags: tuple[str, ...] = ()
+) -> tuple[list[str], dict[str, str]]:
+    """One pass: --flags in ``flags`` are boolean (no value token);
+    every other --opt consumes the next token; everything else is
+    positional (so `mode --id X path` and `mode path --id X` both
+    work). Shared by every subcommand (review finding r5c: five
+    hand-copied parse loops)."""
     paths: list[str] = []
     opts: dict[str, str] = {}
     it = iter(argv[1:])
     for a in it:
         if a.startswith("--"):
-            opts[a[2:].replace("-", "_")] = next(it, "")
+            key = a[2:].replace("-", "_")
+            opts[key] = "1" if key in flags else next(it, "")
         else:
             paths.append(a)
-    if not paths:
-        print("usage: infer <corpus.parquet> --id ID [--format html] "
-              "[--min-confidence F] [--content-col html]", file=sys.stderr)
-        return 2
-    if "id" not in opts:
-        print("infer: --id required", file=sys.stderr)
-        return 2
-    from pyspark.sql import SparkSession
-    from pyspark.sql import functions as F  # noqa: N812
+    return paths, opts
 
-    from fingerprint_spark.operators.infer import infer_rule
-    from fingerprint_spark.parse import parse_html_col
+
+def _subcommand_spark():
+    """The shared subcommand session preamble (master override env,
+    quiet logs, executor code via addPyFile)."""
+    from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.master(
         os.environ.get("SPARK_GRAFT_MASTER", "local[8]")
@@ -325,6 +321,29 @@ def _infer_mode(argv: list[str]) -> int:
     from fingerprint_spark.deploy import ensure_pyfiles
 
     ensure_pyfiles(spark)
+    return spark
+
+
+def _infer_mode(argv: list[str]) -> int:
+    """`infer <corpus.parquet> --id ID [--format html] [--min-confidence
+    F] [--content-col html]` — mine candidate assertions from a corpus
+    and print a deterministic .fp.yaml (reference infer subcommand,
+    tests/infer_subcommand.rs; input is a parquet corpus rather than a
+    file directory — the Spark-native shape)."""
+    paths, opts = _parse_subcommand_argv(argv)
+    if not paths:
+        print("usage: infer <corpus.parquet> --id ID [--format html] "
+              "[--min-confidence F] [--content-col html]", file=sys.stderr)
+        return 2
+    if "id" not in opts:
+        print("infer: --id required", file=sys.stderr)
+        return 2
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from fingerprint_spark.operators.infer import infer_rule
+    from fingerprint_spark.parse import parse_html_col
+
+    spark = _subcommand_spark()
     content_col = opts.get("content_col", "html")
     df = spark.read.parquet(paths[0])
     parsed = df.select(
@@ -361,16 +380,7 @@ def _curate_mode(argv: list[str]) -> int:
     checkpointable via the main pipeline; this subcommand is the
     corpus-wide second pass.
     """
-    paths: list[str] = []
-    opts: dict[str, str] = {}
-    flags = {"justext"}  # boolean options (no value token follows)
-    it = iter(argv[1:])
-    for a in it:
-        if a.startswith("--"):
-            key = a[2:].replace("-", "_")
-            opts[key] = "1" if key in flags else next(it, "")
-        else:
-            paths.append(a)
+    paths, opts = _parse_subcommand_argv(argv, flags=("justext",))
     if not paths or ("output" not in opts and "snapshot_output" not in opts):
         print("usage: curate <corpus.parquet|snapshot-table-dir> "
               "--output DIR "
@@ -396,16 +406,16 @@ def _curate_mode(argv: list[str]) -> int:
         print("error: --shards requires --output (a plain sharded "
               "directory, not a snapshot table)", file=sys.stderr)
         return 2
-    from pyspark.sql import Observation, SparkSession
+    if "ppl_threshold" in opts and "ppl_model" not in opts:
+        # a forgotten --ppl-model would otherwise run with NO
+        # perplexity gate while reading as "threshold applied"
+        print("error: --ppl-threshold requires --ppl-model",
+              file=sys.stderr)
+        return 2
+    from pyspark.sql import Observation
     from pyspark.sql import functions as F  # noqa: N812
 
-    spark = SparkSession.builder.master(
-        os.environ.get("SPARK_GRAFT_MASTER", "local[8]")
-    ).config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    from fingerprint_spark.deploy import ensure_pyfiles
-
-    ensure_pyfiles(spark)
+    spark = _subcommand_spark()
     from fingerprint_spark.operators.curation import (
         boilerplate_filter, chunk_dedup, decontaminate,
     )
@@ -468,7 +478,10 @@ def _curate_mode(argv: list[str]) -> int:
         try:
             with open(opts["ppl_model"]) as fh:
                 ppl_model = model_from_json(fh.read())
-        except (OSError, ValueError, KeyError) as e:
+        except (OSError, ValueError, KeyError, TypeError,
+                AttributeError) as e:
+            # TypeError/AttributeError: structurally-malformed JSON
+            # (a list, logp as a list, ...) must stay a clean error
             print(f"error: --ppl-model: {e}", file=sys.stderr)
             return 2
         quality = quality_filter_text(
@@ -604,30 +617,16 @@ def _train_classifier_mode(argv: list[str]) -> int:
     closing the deployed train->score loop. Prints one JSON line with
     the training-set accuracy at threshold 0.5 (observe-free: one
     scoring pass over the labeled set, which is small by contract)."""
-    paths: list[str] = []
-    opts: dict[str, str] = {}
-    it = iter(argv[1:])
-    for a in it:
-        if a.startswith("--"):
-            opts[a[2:].replace("-", "_")] = next(it, "")
-        else:
-            paths.append(a)
+    paths, opts = _parse_subcommand_argv(argv)
     if not paths or "output" not in opts:
         print("usage: train-classifier <labeled.parquet> --output "
               "MODEL.json [--dim N] [--epochs N] [--lr F] "
               "[--text-col text] [--label-col label] "
               "[--hasher xxhash|md5]", file=sys.stderr)
         return 2
-    from pyspark.sql import SparkSession
     from pyspark.sql import functions as F  # noqa: N812
 
-    spark = SparkSession.builder.master(
-        os.environ.get("SPARK_GRAFT_MASTER", "local[8]")
-    ).config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    from fingerprint_spark.deploy import ensure_pyfiles
-
-    ensure_pyfiles(spark)
+    spark = _subcommand_spark()
     from fingerprint_spark.operators.quality_classifier import (
         quality_score_arrow,
         train_quality_logreg,
@@ -684,46 +683,37 @@ def _train_lm_mode(argv: list[str]) -> int:
     reaches the driver — the driver-side trainer would collect every
     training text) and write the JSON model the curate --ppl-model
     stage consumes."""
-    paths: list[str] = []
-    opts: dict[str, str] = {}
-    it = iter(argv[1:])
-    for a in it:
-        if a.startswith("--"):
-            opts[a[2:].replace("-", "_")] = next(it, "")
-        else:
-            paths.append(a)
+    paths, opts = _parse_subcommand_argv(argv)
     if not paths or "output" not in opts:
         print("usage: train-lm <corpus.parquet> --output MODEL.json "
               "[--order N] [--min-count N] [--max-grams N] "
               "[--text-col text]", file=sys.stderr)
         return 2
-    from pyspark.sql import SparkSession
-
-    spark = SparkSession.builder.master(
-        os.environ.get("SPARK_GRAFT_MASTER", "local[8]")
-    ).config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    from fingerprint_spark.deploy import ensure_pyfiles
-
-    ensure_pyfiles(spark)
+    spark = _subcommand_spark()
     from fingerprint_spark.functions.perplexity import (
         model_to_json,
         train_char_ngram_df,
     )
 
+    from pyspark.errors import AnalysisException
+
     text_col = opts.get("text_col", "text")
-    df = spark.read.parquet(paths[0])
-    if text_col not in df.columns:
-        print(f"error: column {text_col!r} not in {paths[0]}",
-              file=sys.stderr)
+    try:
+        df = spark.read.parquet(paths[0])
+        if text_col not in df.columns:
+            print(f"error: column {text_col!r} not in {paths[0]}",
+                  file=sys.stderr)
+            return 2
+        model = train_char_ngram_df(
+            df, text_col,
+            order=int(opts.get("order", "3")),
+            min_count=int(opts.get("min_count", "1")),
+            max_grams=(int(opts["max_grams"]) if "max_grams" in opts
+                       else None),
+        )
+    except (ValueError, AnalysisException) as e:
+        print(f"error: train-lm: {e}", file=sys.stderr)
         return 2
-    model = train_char_ngram_df(
-        df, text_col,
-        order=int(opts.get("order", "3")),
-        min_count=int(opts.get("min_count", "1")),
-        max_grams=(int(opts["max_grams"]) if "max_grams" in opts
-                   else None),
-    )
     with open(opts["output"], "w") as fh:
         fh.write(model_to_json(model))
     print(json.dumps({
@@ -741,18 +731,16 @@ def _frontier_mode(argv: list[str]) -> int:
     snapshot table (atomic versioned commits), --build creates
     filter(1) from a corpus, --merge folds a url delta into the
     current filter and commits the next snapshot (cost scales with
-    |filter| + |delta|, never the corpus), --probe writes the
-    definitely-new rows of an incoming crawl (bloom miss; zero false
-    negatives) plus a JSON counter line. Probe strategy is the auto
-    size guard (broadcast under the cap, sharded beyond it)."""
-    paths: list[str] = []
-    opts: dict[str, str] = {}
-    it = iter(argv[1:])
-    for a in it:
-        if a.startswith("--"):
-            opts[a[2:].replace("-", "_")] = next(it, "")
-        else:
-            paths.append(a)
+    |filter| + |delta|, never the corpus; compare-and-swap on the
+    snapshot id — a concurrent merge surfaces as a clean retry error,
+    never a silently-lost delta), --probe writes the definitely-new
+    rows of an incoming crawl (bloom miss; zero false negatives) plus
+    a JSON counter line. Probe strategy is the auto size guard
+    (broadcast under the cap, sharded beyond it). --n-bits/--k apply
+    to --build only: merge and probe read (n_bits, k) from the
+    filter's own marker row — the self-describing params exist so a
+    mismatch is impossible, not so the caller re-types them."""
+    paths, opts = _parse_subcommand_argv(argv)
     n_actions = sum(x in opts for x in ("build", "merge", "probe"))
     if not paths or n_actions != 1 or (
         "probe" in opts and "output" not in opts
@@ -762,35 +750,47 @@ def _frontier_mode(argv: list[str]) -> int:
               "--output DIR) [--key-col url] [--n-bits N] [--k K]",
               file=sys.stderr)
         return 2
-    from pyspark.sql import Observation, SparkSession
+    from pyspark.sql import Observation
     from pyspark.sql import functions as F  # noqa: N812
 
-    spark = SparkSession.builder.master(
-        os.environ.get("SPARK_GRAFT_MASTER", "local[8]")
-    ).config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    from fingerprint_spark.deploy import ensure_pyfiles
-
-    ensure_pyfiles(spark)
+    spark = _subcommand_spark()
     from fingerprint_spark.operators.bloom import (
         bloom_build,
         bloom_merge,
         bloom_probe,
     )
+    from pyspark.errors import AnalysisException
+
     from fingerprint_spark.snapshots import (
+        SnapshotConflict,
         commit_snapshot,
         load_manifest,
         read_snapshot,
         witness_read,
     )
 
+    def _marker_params(filt):
+        meta = filt.filter(F.col("word_idx") == -1).collect()  # driver-bounded: 1 row
+        if not meta:
+            raise ValueError(
+                "filter table has no parameter marker row (word_idx=-1)"
+            )
+        built = int(meta[0]["word"])
+        return built // 256, built % 256
+
+    def _read_keyed(path):
+        df = spark.read.parquet(path)
+        if key_col not in df.columns:
+            raise ValueError(f"column {key_col!r} not in {path}")
+        return df
+
     table = paths[0]
     key_col = opts.get("key_col", "url")
-    n_bits = int(opts.get("n_bits", str(1 << 24)))
-    k = int(opts.get("k", "5"))
     try:
         if "build" in opts:
-            corpus = spark.read.parquet(opts["build"])
+            n_bits = int(opts.get("n_bits", str(1 << 24)))
+            k = int(opts.get("k", "5"))
+            corpus = _read_keyed(opts["build"])
             filt = bloom_build(corpus, key_col, n_bits, k)
             manifest = commit_snapshot(filt, table, mode="overwrite")
             print(json.dumps({
@@ -803,21 +803,29 @@ def _frontier_mode(argv: list[str]) -> int:
         if "merge" in opts:
             manifest_in = load_manifest(table)
             filt = read_snapshot(spark, table, manifest_in["snapshot_id"])
+            n_bits, k = _marker_params(filt)
             witness_read(table, manifest_in, tool="frontier-merge")
-            delta = spark.read.parquet(opts["merge"])
+            delta = _read_keyed(opts["merge"])
             merged = bloom_merge(filt, delta, key_col, n_bits, k)
-            manifest = commit_snapshot(merged, table, mode="overwrite")
+            # CAS on the snapshot id: this merge was DERIVED from
+            # manifest_in; if another merge landed meanwhile, blindly
+            # publishing would silently drop that delta's bits
+            manifest = commit_snapshot(
+                merged, table, mode="overwrite",
+                expected_parent=manifest_in["snapshot_id"],
+            )
             print(json.dumps({
                 "metric": "frontier_merge", "filter_table": table,
-                "parent_snapshot_id": manifest_in["snapshot_id"],
+                "parent_snapshot_id": manifest["parent_id"],
                 "snapshot_id": manifest["snapshot_id"],
                 "filter_rows": manifest["n_rows"],
             }))
             return 0
         manifest_in = load_manifest(table)
         filt = read_snapshot(spark, table, manifest_in["snapshot_id"])
+        n_bits, k = _marker_params(filt)
         witness_read(table, manifest_in, tool="frontier-probe")
-        incoming = spark.read.parquet(opts["probe"])
+        incoming = _read_keyed(opts["probe"])
         tagged = bloom_probe(incoming, filt, key_col, n_bits, k)
         obs = Observation("frontier")
         tagged = tagged.observe(
@@ -827,14 +835,21 @@ def _frontier_mode(argv: list[str]) -> int:
         )
         new = tagged.filter(F.col("maybe_member") == 0).drop("maybe_member")
         new.write.mode("overwrite").parquet(opts["output"])
+        got = obs.get
+        # an empty incoming crawl observes sum() = NULL, not 0
+        seen = int(got["maybe_seen"] or 0)
         print(json.dumps({
             "metric": "frontier_probe", "filter_table": table,
-            "snapshot_id": manifest_in["snapshot_id"], **obs.get,
-            "new": int(obs.get["incoming"] - obs.get["maybe_seen"]),
+            "snapshot_id": manifest_in["snapshot_id"],
+            "incoming": int(got["incoming"]), "maybe_seen": seen,
+            "new": int(got["incoming"]) - seen,
             "output": opts["output"],
         }))
         return 0
-    except (ValueError, FileNotFoundError) as e:
+    except SnapshotConflict as e:
+        print(f"error: frontier: concurrent commit — {e}", file=sys.stderr)
+        return 2
+    except (ValueError, FileNotFoundError, AnalysisException) as e:
         print(f"error: frontier: {e}", file=sys.stderr)
         return 2
 

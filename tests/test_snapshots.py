@@ -262,3 +262,24 @@ def test_curate_cli_bad_snapshot_path_clean_error(spark, tmp_path, capsys):
     err = capsys.readouterr().err
     assert "error: --input-snapshot" in err
     assert "Traceback" not in err
+
+
+def test_commit_expected_parent_cas(spark, tmp_path):
+    """Review finding r5c: a read-modify-write commit (bloom merge)
+    derived from snapshot N must not silently retry past a concurrent
+    commit — expected_parent raises SnapshotConflict so the caller
+    re-reads and recomputes."""
+    import pytest
+
+    from fingerprint_spark.snapshots import SnapshotConflict
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_corpus(spark, 0, 5), t)
+    # CAS succeeds when the table is where we left it
+    m2 = commit_snapshot(_corpus(spark, 5, 10), t, mode="overwrite",
+                         expected_parent=1)
+    assert m2["snapshot_id"] == 2
+    # a concurrent commit moved the table -> conflict, not a silent win
+    with pytest.raises(SnapshotConflict, match="derived from 1"):
+        commit_snapshot(_corpus(spark, 10, 15), t, mode="overwrite",
+                        expected_parent=1)

@@ -663,10 +663,13 @@ def test_frontier_cli_build_merge_probe_cycle(spark, tmp_path, capsys,
             [ln for ln in capsys.readouterr().out.splitlines()
              if ln.startswith("{")][-1])
 
+    # non-default build params: merge/probe must pick them up from the
+    # filter's own marker row, not require the caller to re-type them
     assert rp._frontier_mode(
-        ["frontier", tbl, "--build", corpus]) == 0
+        ["frontier", tbl, "--build", corpus, "--n-bits", "2097152"]) == 0
     rec = last_json()
     assert rec["snapshot_id"] == 1 and rec["filter_rows"] > 0
+    assert rec["n_bits"] == 2097152
 
     assert rp._frontier_mode(
         ["frontier", tbl, "--merge", delta]) == 0
@@ -686,10 +689,22 @@ def test_frontier_cli_build_merge_probe_cycle(spark, tmp_path, capsys,
         tools = [json.loads(ln)["tool"] for ln in f if ln.strip()]
     assert "frontier-merge" in tools and "frontier-probe" in tools
 
-    # usage + missing-filter errors are clean
+    # empty incoming crawl: counters stay integers, no crash
+    empty = str(tmp_path / "empty.parquet")
+    spark.createDataFrame([], "url string").write.parquet(empty)
+    out2 = str(tmp_path / "new2")
+    assert rp._frontier_mode(
+        ["frontier", tbl, "--probe", empty, "--output", out2]) == 0
+    rec = last_json()
+    assert (rec["incoming"], rec["maybe_seen"], rec["new"]) == (0, 0, 0)
+
+    # usage + missing-filter + missing-column errors are clean
     assert rp._frontier_mode(["frontier", tbl]) == 2
     assert rp._frontier_mode(
         ["frontier", str(tmp_path / "nope"), "--merge", delta]) == 2
+    assert rp._frontier_mode(
+        ["frontier", tbl, "--probe", incoming, "--output", out2,
+         "--key-col", "missing"]) == 2
 
 
 def test_train_lm_cli_and_ppl_gate(spark, tmp_path, capsys):

@@ -55,6 +55,10 @@ HEADLINE = [
     "boilerplate",        # over-threshold chunk popularity + rewrite
     "neardup_clusters",   # minhash -> LSH -> verify -> components
     "pagerank",           # 10-iteration power method (iterative shape)
+    "perplexity",         # broadcast n-gram LM scoring (round 5 —
+                          # NOTE: grew the headline set 20 -> 21;
+                          # round-over-round TOTALS compare on the
+                          # original 20, see BENCH.md)
 ]
 
 

@@ -780,6 +780,163 @@ FROM feats, w
 ORACLE_QUERIES.update({"quality_score": (q_quality_score, sql_quality_score)})
 
 
+_PPL_ORDER = 3
+_PPL_SCALE = 10**12  # fixed-point: micro-logp = round(logp * 1e12)
+_PPL_UDF_TOL = 1e-6  # production-UDF vs fixed-point agreement bound
+
+
+def _ppl_micro_model():
+    """(micro-logp dict, micro backoff, NGramModel) for the fixture LM.
+
+    The LM trains on the label-1 (reference-quality prose) half of
+    QUALITY_TRAIN_FIXTURE — the KenLM recipe: fit on clean in-domain
+    text, score everything, high perplexity = out-of-domain/junk.
+
+    Fixed-point contract: each float log-probability is scaled by 1e12
+    and HALF_UP-rounded to an INTEGER once at the driver; both engines
+    then sum the SAME integers, so per-document totals are bit-identical
+    by construction — no cross-engine float-sum-order hazard (the
+    ann_recall/quality_score playbook, taken one step further: the
+    contract columns are exact bigints, not rounded doubles).
+    """
+    from .functions.perplexity import train_char_ngram
+    from .operators.quality_classifier import QUALITY_TRAIN_FIXTURE
+    from .operators.similarity import _round_half_up
+
+    clean = [t for t, label in QUALITY_TRAIN_FIXTURE if label == 1]
+    model = train_char_ngram(clean, order=_PPL_ORDER)
+    micro = {
+        g: int(_round_half_up(lp * _PPL_SCALE, 0)) for g, lp in model.logp
+    }
+    backoff_micro = int(_round_half_up(model.backoff_logp * _PPL_SCALE, 0))
+    return micro, backoff_micro, model
+
+
+def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-style char-n-gram perplexity under the HARD oracle signal
+    (the north_rule's named quality stage, previously covered only
+    inside the rows-only html_pipeline chain). Two paths side-by-side,
+    the sketches/winnow pattern:
+
+    - exact path (the contract): pad+lower the text JVM-side, explode
+      trigrams, broadcast-join the fixture model as a (gram, micro-logp
+      bigint) lookup table — the north_star's "versioned template
+      definitions broadcast as lookup structures" — then groupBy doc
+      summing exact integers. At scale this is one broadcast join plus
+      one map-side-combined shuffle of (doc_id, long) pairs.
+    - production path: functions/perplexity.perplexity_col, the Arrow
+      UDF that scores the same model with float sums; `udf_agrees`
+      pins |udf - exact| <= 1e-6 INSIDE the oracle row, so a tokenizer
+      or closure drift turns the row red.
+
+    Reference analog: the n-gram perplexity quality signal in the
+    enrich stage, src/pipeline/enricher.rs (perplexity fold) — scoring
+    semantics re-derived from public KenLM/CCNet descriptions.
+    """
+    from .functions.perplexity import perplexity_col
+
+    micro, backoff_micro, model = _ppl_micro_model()
+    model_df = spark.createDataFrame(
+        sorted(micro.items()), "gram string, lp_micro long"
+    )
+    base = _doc(spark, sf_dir).select("doc_id", "text")
+    padded = base.select(
+        "doc_id",
+        F.concat(
+            F.lit("\x02" * (_PPL_ORDER - 1)),
+            F.substring(
+                F.lower(F.coalesce(F.col("text"), F.lit(""))), 1, 4000
+            ),
+            F.lit("\x03"),
+        ).alias("__s"),
+    )
+    grams = padded.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence({_PPL_ORDER}, length(__s)), "
+                f"i -> substring(__s, i - {_PPL_ORDER - 1}, {_PPL_ORDER}))"
+            )
+        ).alias("gram"),
+    )
+    agg = (
+        grams.join(F.broadcast(model_df), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce(F.col("lp_micro"), F.lit(backoff_micro)))
+            .cast("bigint")
+            .alias("logp_micro_total"),
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        )
+    )
+    exact_ppl = F.exp(
+        -(F.col("logp_micro_total") / F.lit(float(_PPL_SCALE)))
+        / F.col("n_grams")
+    )
+    udf = base.select(
+        "doc_id", perplexity_col(F.col("text"), model).alias("__ppl_udf")
+    )
+    return agg.join(udf, "doc_id").select(
+        "doc_id",
+        "n_grams",
+        "logp_micro_total",
+        F.round(exact_ppl, 6).alias("ppl"),
+        (F.abs(F.col("__ppl_udf") - exact_ppl) <= _PPL_UDF_TOL).alias(
+            "udf_agrees"
+        ),
+    )
+
+
+def _sql_gram_literal(g: str) -> str:
+    """DuckDB string expression for a gram that may contain the STX/ETX
+    pad bytes — control chars go through chr(n), printable runs through
+    quoted literals, so the generated SQL stays plain ASCII."""
+    parts: list[str] = []
+    buf = ""
+    for ch in g:
+        if ord(ch) < 32:
+            if buf:
+                parts.append("'" + buf.replace("'", "''") + "'")
+                buf = ""
+            parts.append(f"chr({ord(ch)})")
+        else:
+            buf += ch
+    if buf:
+        parts.append("'" + buf.replace("'", "''") + "'")
+    return "||".join(parts) if parts else "''"
+
+
+def sql_perplexity() -> str:
+    micro, backoff_micro, _model = _ppl_micro_model()
+    vals = ", ".join(
+        f"({_sql_gram_literal(g)}, {v})" for g, v in sorted(micro.items())
+    )
+    pads = "||".join(["chr(2)"] * (_PPL_ORDER - 1))
+    return f"""
+WITH model(gram, lp_micro) AS (VALUES {vals}),
+docs AS (SELECT doc_id,
+  {pads}||substr(lower(coalesce(text,'')),1,4000)||chr(3) AS s
+  FROM documents),
+grams AS (SELECT doc_id,
+  unnest([substr(s, i - {_PPL_ORDER - 1}, {_PPL_ORDER})
+          FOR i IN generate_series({_PPL_ORDER}, length(s))]) AS gram
+  FROM docs),
+agg AS (SELECT doc_id,
+  CAST(sum(coalesce(lp_micro, {backoff_micro})) AS BIGINT)
+    AS logp_micro_total,
+  count(*)::bigint AS n_grams
+  FROM grams LEFT JOIN model USING (gram) GROUP BY doc_id)
+SELECT doc_id, n_grams, logp_micro_total,
+  round(exp(-((logp_micro_total::double)/{float(_PPL_SCALE)!r})/n_grams), 6)
+    AS ppl,
+  TRUE AS udf_agrees
+FROM agg
+"""
+
+
+ORACLE_QUERIES.update({"perplexity": (q_perplexity, sql_perplexity)})
+
+
 # html_pipeline is the one genuinely non-SQL-expressible query left
 # (full parse-UDF chain incl. broadcast n-gram perplexity model)
 ROWS_ONLY_QUERIES = {
@@ -1881,7 +2038,12 @@ ORACLE_QUERIES.update(
         "customers_without_orders": (
             q_customers_without_orders, sql_customers_without_orders,
         ),
-        "lang_by_source_pivot": (q_lang_by_source_pivot, sql_lang_by_source_pivot),
+        # lang_by_source_pivot was retired from the driver registry for
+        # the 50-row budget (perplexity took the slot — a named
+        # north_rule stage beats a presentational pivot of the already
+        # oracle-green langid row; same retirement class as
+        # lang_distribution). Still oracle-checked every run by
+        # test_lang_by_source_pivot_retired_parity.
     }
 )
 

@@ -177,6 +177,66 @@ def test_lang_distribution_is_langid_projection(spark):
     assert dist == {(k, v) for k, v in base.items()} and dist
 
 
+def test_lang_by_source_pivot_retired_parity(spark, duck):
+    """lang_by_source_pivot was retired from the driver registry for
+    the 50-row budget (perplexity took the slot); keep it under the
+    same Spark-vs-DuckDB check here so the pivot operator stays
+    oracle-verified."""
+    from fingerprint_spark.entry_queries import (
+        q_lang_by_source_pivot, sql_lang_by_source_pivot,
+    )
+
+    sdf = q_lang_by_source_pivot(spark, SF_DIR)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    res = duck.execute(sql_lang_by_source_pivot())
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(duck_cols)
+    assert _rowset(spark_rows, sdf.columns) == _rowset(duck_rows, duck_cols)
+    assert len(spark_rows) > 0
+
+
+def test_perplexity_oracle_on_adversarial_docs(spark, tmp_path):
+    """The perplexity oracle row on edge inputs the sf corpus lacks:
+    NULL text, empty text, text of only unseen chars (every gram hits
+    the backoff), and a text longer than the 4000-char truncation
+    point. All three engines (Spark exact path, Arrow UDF, DuckDB)
+    must stay bit-identical on the integer contract columns."""
+    import duckdb
+
+    docs = [
+        (0, None, "s0", "en"),
+        (1, "", "s0", "en"),
+        (2, "@@@@ ####", "s0", "en"),        # all-backoff grams
+        (3, "the committee reviewed the evidence " * 200, "s1", "en"),
+        (4, "it's got 'quotes' and\ttabs\nand newlines", "s1", "en"),
+    ]
+    d = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string, lang string"
+    ).coalesce(1).write.parquet(d)
+
+    q = entry_mod.queries()["perplexity"]
+    sdf = q(spark, str(tmp_path))
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/*.parquet'")
+    res = con.execute(entry_mod.oracle_sql()["perplexity"])
+    duck_cols = [c[0] for c in res.description]
+    duck_rows = res.fetchall()
+    con.close()
+    assert len(spark_rows) == len(duck_rows) == 5
+    assert _rowset(spark_rows, sdf.columns) == _rowset(duck_rows, duck_cols)
+    by_id = {r["doc_id"]: r for r in sdf.collect()}
+    # NULL and empty text coalesce to the same padded shell: 1 gram
+    assert by_id[0]["n_grams"] == by_id[1]["n_grams"] == 1
+    assert by_id[0]["logp_micro_total"] == by_id[1]["logp_micro_total"]
+    # truncation fired: ~4001 grams, not ~7200
+    assert by_id[3]["n_grams"] == 4000 + 1
+    # the production UDF agreed with the exact path on every row
+    assert all(r["udf_agrees"] for r in sdf.collect())
+
+
 def test_quality_classifier_weights_cross_engine_identical(spark):
     """The lever under the quality_score oracle row: Spark GD with
     per-epoch HALF_UP gradient rounding must learn weights

@@ -452,6 +452,52 @@ def run_classifier_bench(cores: str) -> dict:
     return out
 
 
+def run_langid_bench(cores: str) -> dict:
+    """Trained-langid corpus-inference throughput (round 5): the
+    zero-shuffle dense-literal Column fold vs the Arrow kernel
+    (per-batch gram->id memo + numpy margin fold) over the 120k-doc
+    scaling corpus — the classifier-bench shape for the fastText-tier
+    language stage (4 classes, dim 2048, char trigrams)."""
+    from pyspark.sql import functions as F
+
+    from fingerprint_spark.operators.langid_classifier import (
+        LANGID_TRAIN_FIXTURE,
+        langid_classify,
+        langid_classify_arrow,
+        train_langid_softmax,
+    )
+    from fingerprint_spark.session import get_spark
+
+    _ensure_scaling_corpus()
+    spark = get_spark("fingerprint_spark_langid_bench", cores=cores)
+    train = spark.createDataFrame(
+        LANGID_TRAIN_FIXTURE, "text string, lang string"
+    )
+    model = train_langid_softmax(train, dim=2048, epochs=8, lr=2.0)
+    docs = spark.read.parquet(SCALING_CORPUS).select("url", "text").persist()
+    n = docs.count()
+    out = {"metric": "langid_inference", "unit": "docs_per_sec",
+           "n_docs": n, "dim": 2048,
+           "n_classes": len(model["classes"]), "cores": cores}
+    for name, fn in (("column", langid_classify),
+                     ("arrow", langid_classify_arrow)):
+        best = float("inf")
+        for i in range(3):  # run0 warm-up; min-of-2
+            t0 = time.perf_counter()
+            fn(docs, model).select(
+                F.sum(F.col("lang_pred.prob"))
+            ).collect()  # driver-bounded: 1 row
+            dt = time.perf_counter() - t0
+            if i > 0:
+                best = min(best, dt)
+        out[f"sec_{name}"] = round(best, 3)
+        out[f"docs_per_sec_{name}"] = round(n / best, 1)
+    docs.unpersist()
+    out["value"] = out["docs_per_sec_arrow"]
+    spark.stop()
+    return out
+
+
 def run_ann_curve(cores: str) -> dict:
     """Probe-fraction/recall curve on CLUSTERED embeddings (round 5,
     VERDICT r4 #7): 20k md5-seeded clustered vectors (dim 64, 32
@@ -717,6 +763,9 @@ def main() -> None:
     ap.add_argument("--classifier-bench", action="store_true",
                     help="classifier inference docs/s: Column fold vs "
                          "Arrow kernel")
+    ap.add_argument("--langid-bench", action="store_true",
+                    help="trained-langid inference: Column fold vs "
+                         "Arrow kernel over the 120k-doc corpus")
     ap.add_argument("--ann-curve", action="store_true",
                     help="IVF probe-fraction/recall curve on clustered "
                          "embeddings")
@@ -768,6 +817,9 @@ def main() -> None:
         return
     if args.classifier_bench:
         print(json.dumps(run_classifier_bench(str(args.cores))))
+        return
+    if args.langid_bench:
+        print(json.dumps(run_langid_bench(str(args.cores))))
         return
     if args.corpus_pipeline:
         print(json.dumps(run_corpus_pipeline(str(args.cores), args.corpus_pipeline)))

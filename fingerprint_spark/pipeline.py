@@ -216,20 +216,49 @@ def quality_filter_text(
     ppl_threshold: float = DEFAULT_PPL_THRESHOLD,
     with_ppl: bool = False,
     ppl_model: NGramModel | None = None,
+    langid_model: dict | None = None,
+    langid_kernel: str = "arrow",
 ) -> DataFrame:
     """Text-only variant (no html parse): langid -> heuristics -> scrub.
 
     Every stage here is a pure Column expression with an exact ANSI-SQL
     analog — this is the oracle-checkable surface used by the driver's
     DuckDB comparison. ``with_ppl`` adds the (non-SQL) perplexity stage.
+    ``langid_model`` swaps the marker-word scorer for a TRAINED
+    fastText-shaped softmax (operators/langid_classifier, the
+    train-langid CLI output) — zero-shuffle either way; lang_score then
+    carries the softmax probability of the predicted class rather than
+    the marker-token fraction. ``langid_kernel`` picks the trained
+    scorer's implementation: 'arrow' (default — the measured corpus
+    path, 60.6k vs the fold's 1.3k docs/s at dim=2048/L=4; one
+    ArrowEvalPython stage) or 'column' (pure Columns, zero Python —
+    the parity anchor; plan embeds the dim*L weight literal).
+    Both emit identical verdicts (parity pinned at 1e-9 by
+    test_langid_classifier).
     """
     text = F.col(text_col)
-    df = df.withColumn("_lid", langid_best(text))
-    df = (
-        df.withColumn("lang_detected", F.col("_lid.lang"))
-        .withColumn("lang_score", F.col("_lid.score"))
-        .drop("_lid")
-    )
+    if langid_model is not None:
+        from .operators.langid_classifier import (
+            langid_classify,
+            langid_classify_arrow,
+        )
+
+        classify = (langid_classify_arrow if langid_kernel == "arrow"
+                    else langid_classify)
+        df = classify(df, langid_model, text_col=text_col,
+                      out_col="_lid")
+        df = (
+            df.withColumn("lang_detected", F.col("_lid.lang"))
+            .withColumn("lang_score", F.col("_lid.prob"))
+            .drop("_lid")
+        )
+    else:
+        df = df.withColumn("_lid", langid_best(text))
+        df = (
+            df.withColumn("lang_detected", F.col("_lid.lang"))
+            .withColumn("lang_score", F.col("_lid.score"))
+            .drop("_lid")
+        )
     df = df.withColumn("stats", text_stats(text))
     df = df.withColumn("flags", gopher_quality_flags(F.col("stats")))
     df = df.withColumn("scrub", scrub_counts(text))

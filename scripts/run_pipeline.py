@@ -93,7 +93,7 @@ def _display_surfaces(argv: list[str]) -> int | None:
             "schema_version": "spark-operator.v0",
             "capabilities": {
                 "formats": ["html", "markdown", "text", "csv", "xlsx", "pdf"],
-                "modes": ["run", "resume", "revalidate", "diagnose", "compile", "infer", "witness", "curate", "train-classifier", "train-lm", "frontier"],
+                "modes": ["run", "resume", "revalidate", "diagnose", "compile", "infer", "witness", "curate", "train-classifier", "train-lm", "train-langid", "frontier"],
             },
             "pipeline": [
                 "parse", "template_match", "langid", "perplexity",
@@ -388,6 +388,8 @@ def _curate_mode(argv: list[str]) -> int:
               "[--decontam-n N] [--text-col text] [--key-col url] "
               "[--justext  (DOM boilerplate strip; needs an html col)] "
               "[--classifier MODEL.json [--classifier-threshold P]] "
+              "[--langid-model MODEL.json  (train-langid output; "
+              "trained softmax replaces the marker-word scorer)] "
               "[--ppl-model LM.json [--ppl-threshold F]  (train-lm "
               "output; perplexity gate)] "
               "[--shards N  (audited hash-sharded output + _MANIFEST)] "
@@ -465,6 +467,22 @@ def _curate_mode(argv: list[str]) -> int:
             "n_good", "n_bad",
         )
         df = df.drop(text_col).join(bp, key_col)
+    langid_model = None
+    if "langid_model" in opts:
+        # opt-in trained language stage: the model file comes from
+        # `train-langid` (fastText-shaped hashed char-n-gram softmax);
+        # it replaces the marker-word scorer inside the quality chain
+        # — still a pure-Column zero-shuffle fold
+        from fingerprint_spark.operators.langid_classifier import (
+            langid_model_from_json,
+        )
+
+        try:
+            with open(opts["langid_model"]) as fh:
+                langid_model = langid_model_from_json(fh.read())
+        except (OSError, ValueError) as e:
+            print(f"error: --langid-model: {e}", file=sys.stderr)
+            return 2
     ppl_model = None
     if "ppl_model" in opts:
         # opt-in trained perplexity gate: the model file comes from
@@ -490,9 +508,13 @@ def _curate_mode(argv: list[str]) -> int:
             ppl_threshold=float(
                 opts.get("ppl_threshold", str(DEFAULT_PPL_THRESHOLD))
             ),
+            langid_model=langid_model,
         )
     else:
-        quality = quality_filter_text(df, text_col=text_col, url_col=key_col)
+        quality = quality_filter_text(
+            df, text_col=text_col, url_col=key_col,
+            langid_model=langid_model,
+        )
     base = quality.select(
         key_col,
         F.col("keep").cast("int").alias("keep_quality"),
@@ -585,6 +607,12 @@ def _curate_mode(argv: list[str]) -> int:
             F.sum(
                 (F.col("drop_reason") == "perplexity").cast("int")
             ).alias("ppl_dropped")
+        )
+    if "langid_model" in opts:
+        counters.append(
+            F.sum(
+                F.col("drop_reason").startswith("langid:").cast("int")
+            ).alias("langid_dropped")
         )
     out = out.observe(obs, *counters)
     if "snapshot_output" in opts:
@@ -719,6 +747,79 @@ def _train_lm_mode(argv: list[str]) -> int:
     print(json.dumps({
         "metric": "train_lm", "output": opts["output"],
         "order": model.order, "n_grams": len(model.logp),
+    }))
+    return 0
+
+
+def _train_langid_mode(argv: list[str]) -> int:
+    """`train-langid <labeled.parquet> --output MODEL.json [--dim N]
+    [--ngram N] [--epochs N] [--lr F] [--text-col text]
+    [--label-col lang] [--hasher xxhash|md5]` — train the
+    fastText-shaped hashed char-n-gram softmax on a labeled parquet
+    (text + language label) and write the model file the curate
+    --langid-model stage consumes. grad_round_dp is pinned to 6 so the
+    written model is bit-identical to the pure-Python twin's
+    (partition-invariant, cross-engine reproducible — the
+    train-classifier contract). Prints one JSON line with the
+    training-set accuracy (one Arrow scoring pass; the labeled set is
+    small by contract)."""
+    paths, opts = _parse_subcommand_argv(argv)
+    if not paths or "output" not in opts:
+        print("usage: train-langid <labeled.parquet> --output "
+              "MODEL.json [--dim N] [--ngram N] [--epochs N] [--lr F] "
+              "[--text-col text] [--label-col lang] "
+              "[--hasher xxhash|md5]", file=sys.stderr)
+        return 2
+    from pyspark.sql import functions as F  # noqa: N812
+
+    spark = _subcommand_spark()
+    from fingerprint_spark.operators.langid_classifier import (
+        langid_classify_arrow,
+        langid_model_to_json,
+        train_langid_softmax,
+    )
+
+    text_col = opts.get("text_col", "text")
+    label_col = opts.get("label_col", "lang")
+    hasher = opts.get("hasher", "xxhash")
+    df = spark.read.parquet(paths[0])
+    for c in (text_col, label_col):
+        if c not in df.columns:
+            print(f"error: column {c!r} not in {paths[0]}",
+                  file=sys.stderr)
+            return 2
+    try:
+        model = train_langid_softmax(
+            df, text_col=text_col, label_col=label_col,
+            dim=int(opts.get("dim", "2048")),
+            n=int(opts.get("ngram", "3")),
+            epochs=int(opts.get("epochs", "8")),
+            lr=float(opts.get("lr", "2.0")),
+            hasher=hasher,
+            grad_round_dp=6,
+        )
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    scored = langid_classify_arrow(
+        df.select(text_col, label_col), model, text_col=text_col,
+        out_col="_pred",
+    )
+    acc_row = scored.select(
+        F.avg(
+            (F.col("_pred.lang") == F.col(label_col)).cast("double")
+        ).alias("acc"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]  # driver-bounded: 1 row
+    with open(opts["output"], "w") as fh:
+        fh.write(langid_model_to_json(model))
+    print(json.dumps({
+        "metric": "train_langid", "output": opts["output"],
+        "n_labeled": acc_row["n"], "dim": model["dim"],
+        "ngram": model["ngram"], "hasher": hasher,
+        "classes": model["classes"],
+        "n_weights": len(model["weights"]),
+        "train_accuracy": round(float(acc_row["acc"]), 4),
     }))
     return 0
 
@@ -863,6 +964,8 @@ def main() -> int:
         return _train_classifier_mode(sys.argv[1:])
     if len(sys.argv) > 1 and sys.argv[1] == "train-lm":
         return _train_lm_mode(sys.argv[1:])
+    if len(sys.argv) > 1 and sys.argv[1] == "train-langid":
+        return _train_langid_mode(sys.argv[1:])
     if len(sys.argv) > 1 and sys.argv[1] == "compile":
         return _compile_mode(sys.argv[1:])
     if len(sys.argv) > 1 and sys.argv[1] == "witness":

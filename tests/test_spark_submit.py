@@ -781,3 +781,85 @@ def test_train_lm_cli_and_ppl_gate(spark, tmp_path, capsys):
     assert rp._curate_mode(
         ["curate", corpus, "--output", out,
          "--ppl-model", str(tmp_path / "nope.json")]) == 2
+
+
+def test_train_langid_cli_and_curate_stage(spark, tmp_path, capsys):
+    """`train-langid` (DataFrame-native softmax GD) -> `curate
+    --langid-model`: the trained fastText-shaped scorer replaces the
+    marker-word tier through the full CLI chain — non-English docs
+    drop with drop_reason 'langid:<lang>' and a langid_dropped
+    counter; English docs keep."""
+    import importlib.util
+
+    from fingerprint_spark.operators.langid_classifier import (
+        LANGID_TRAIN_FIXTURE,
+        langid_model_from_json,
+    )
+
+    spec = importlib.util.spec_from_file_location(
+        "run_pipeline_mod_langid",
+        os.path.join(REPO, "scripts", "run_pipeline.py"),
+    )
+    rp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rp)
+
+    labeled = str(tmp_path / "labeled.parquet")
+    spark.createDataFrame(
+        LANGID_TRAIN_FIXTURE, "text string, lang string"
+    ).write.parquet(labeled)
+    model_path = str(tmp_path / "lid.json")
+    rc = rp._train_langid_mode(
+        ["train-langid", labeled, "--output", model_path,
+         "--dim", "1024", "--epochs", "8"])
+    assert rc == 0
+    rec = json.loads(
+        [ln for ln in capsys.readouterr().out.splitlines()
+         if ln.startswith("{")][-1])
+    assert rec["train_accuracy"] >= 0.95
+    assert rec["n_labeled"] == len(LANGID_TRAIN_FIXTURE)
+    assert rec["classes"] == ["de", "en", "es", "fr"]
+    with open(model_path) as f:
+        model = langid_model_from_json(f.read())  # file round-trips
+    assert model["dim"] == 1024 and model["hasher"] == "xxhash"
+
+    # corpus: en docs long enough to pass the Gopher word-count gate
+    # (the langid stage sits FIRST in the reason chain; en docs must
+    # survive the rest of the chain to prove keep, not just non-drop)
+    by_lang = {}
+    for t, lg in LANGID_TRAIN_FIXTURE:
+        by_lang.setdefault(lg, []).append(t)
+    en_doc = " ".join(by_lang["en"][:4])
+    docs = [(f"https://h/en{i}", en_doc) for i in range(6)]
+    for lg in ("de", "fr", "es"):
+        docs += [(f"https://h/{lg}{i}", " ".join(by_lang[lg][:4]))
+                 for i in range(2)]
+    corpus = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(docs, "url string, text string")\
+        .write.parquet(corpus)
+    out = str(tmp_path / "out")
+    assert rp._curate_mode(
+        ["curate", corpus, "--output", out, "--chunk-words", "5",
+         "--langid-model", model_path]) == 0
+    rec2 = json.loads(
+        [ln for ln in capsys.readouterr().out.splitlines()
+         if ln.startswith("{")][-1])
+    assert rec2["langid_dropped"] == 6
+    got = {r["url"]: r for r in spark.read.parquet(out).collect()}
+    assert all(got[f"https://h/en{i}"]["keep_quality"] == 1
+               for i in range(6))
+    for lg in ("de", "fr", "es"):
+        for i in range(2):
+            assert got[f"https://h/{lg}{i}"]["drop_reason"] == f"langid:{lg}"
+
+    # bad inputs: clean errors, not tracebacks
+    assert rp._train_langid_mode(["train-langid"]) == 2
+    assert rp._train_langid_mode(
+        ["train-langid", labeled, "--output", model_path,
+         "--label-col", "nope"]) == 2
+    assert rp._curate_mode(
+        ["curate", corpus, "--output", out,
+         "--langid-model", str(tmp_path / "nope.json")]) == 2
+    (tmp_path / "bad.json").write_text('{"classes": ["en"]}')
+    assert rp._curate_mode(
+        ["curate", corpus, "--output", out,
+         "--langid-model", str(tmp_path / "bad.json")]) == 2

@@ -115,19 +115,116 @@ _SQL_FLAG_EXPRS = {
 # ---------------------------------------------------------------------------
 
 
+_LID_DIM, _LID_EPOCHS, _LID_LR, _LID_GRAD_DP = 512, 8, 2.0, 6
+_LID_PREFIX = 256  # trained tier classifies a 256-char prefix
+_LID_MODEL_CACHE: dict | None = None
+
+
+def _lid_model() -> dict:
+    """Twin-trained md5-portable langid model (cached). The Spark
+    trainer's bit-identity to this twin is pinned by pytest
+    (test_langid_weights_cross_engine_identical), so the headline row
+    can skip the 8-epoch Spark job and still certify the SAME weights;
+    the oracle row then checks INFERENCE cross-engine."""
+    global _LID_MODEL_CACHE
+    if _LID_MODEL_CACHE is None:
+        from .operators.langid_classifier import (
+            LANGID_TRAIN_FIXTURE,
+            train_langid_softmax_py,
+        )
+
+        _LID_MODEL_CACHE = train_langid_softmax_py(
+            LANGID_TRAIN_FIXTURE, dim=_LID_DIM, epochs=_LID_EPOCHS,
+            lr=_LID_LR, hasher="md5", grad_round_dp=_LID_GRAD_DP,
+        )
+    return _LID_MODEL_CACHE
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID stage (SURVEY §7 step 6; langid_best Column exprs)."""
+    """Language-ID stage (SURVEY §7 step 6): BOTH tiers in one row —
+    the marker-word Column scorer (langid_best) and the TRAINED
+    fastText-shaped softmax (operators/langid_classifier) under the
+    hard oracle signal. The trained tier classifies a 256-char prefix
+    (pre-truncated at the query level so both engines compose
+    lower/truncate identically) through langid_classify_micro_arrow:
+    the weights quantize to integers once, so the per-class margin is
+    an exact int64 sum in any engine — the language verdict is
+    bit-exact and the softmax's exp() inputs are IEEE-identical
+    doubles (the perplexity row's fixed-point contract). The Arrow
+    micro kernel (exact-parity twin of the Column micro fold, pinned
+    by pytest) keeps the headline row fast: the Column fold's
+    interpreted md5 gram hashing costs ~1 ms/doc. Reference analog:
+    the langid gate in the keep/drop fold (src/pipeline/enricher.rs)."""
+    from .operators.langid_classifier import langid_classify_micro_arrow
+
     df = _doc(spark, sf_dir)
+    df = df.withColumn(
+        "__t", F.substring(F.col("text"), 1, _LID_PREFIX)
+    )
+    df = langid_classify_micro_arrow(
+        df, _lid_model(), text_col="__t", out_col="__lid"
+    )
     return df.select(
-        "doc_id", langid_best(F.col("text"))["lang"].alias("lang_detected")
+        "doc_id",
+        langid_best(F.col("text"))["lang"].alias("lang_detected"),
+        F.col("__lid.lang").alias("lang_trained"),
+        F.round(F.col("__lid.prob"), 6).alias("prob_trained"),
     )
 
 
 def sql_langid() -> str:
-    return (
-        f"WITH s AS ({_sql_lang_scores()}) "
-        f"SELECT doc_id, {_sql_lang_case()} AS lang_detected FROM s"
+    model = _lid_model()
+    from .operators.langid_classifier import model_micro
+
+    classes = model["classes"]
+    L = len(classes)
+    fm, bm = model_micro(model)
+    warr = "[" + ", ".join(str(v) for v in fm) + "]"
+    margin_cols = ", ".join(
+        f"({bm[c]} + coalesce(list_sum(list_transform("
+        f"ids, i -> warr[(i * {L} + {c} + 1)::int])), 0))::bigint AS m{c}"
+        for c in range(L)
     )
+    gm = "greatest(" + ", ".join(f"m{c}" for c in range(L)) + ")"
+    z = " + ".join(
+        f"exp((m{c} - {gm})::double / 1000000.0)" for c in range(L)
+    )
+    # argmax on the exact integer margins, ties to the smallest class
+    # index (the Column path's nrank trick): the first class that is
+    # >= all later ones wins
+    case = "CASE " + " ".join(
+        f"WHEN {' AND '.join(f'm{c} >= m{d}' for d in range(c + 1, L))} "
+        f"THEN '{classes[c]}'"
+        for c in range(L - 1)
+    ) + f" ELSE '{classes[L - 1]}' END"
+    return f"""
+WITH w AS (SELECT {warr}::BIGINT[] AS warr),
+g AS (
+  SELECT doc_id,
+    '  ' || substr(lower(substr(coalesce(text, ''), 1, {_LID_PREFIX})),
+                   1, 2000) || ' ' AS padded
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      range(1, length(padded) - 1),
+      i -> ('0x' || substr(md5('g:' || substr(padded, i::int, 3)), 1, 15)
+           )::bigint % {_LID_DIM}
+    )) AS ids
+  FROM g
+),
+m AS (SELECT doc_id, {margin_cols} FROM f, w),
+p AS (
+  SELECT doc_id, {case} AS lang_trained,
+    round(1.0 / ({z}), 6) AS prob_trained
+  FROM m
+),
+s AS ({_sql_lang_scores()})
+SELECT s.doc_id, {_sql_lang_case()} AS lang_detected,
+  p.lang_trained, p.prob_trained
+FROM s JOIN p ON s.doc_id = p.doc_id
+"""
 
 
 def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:

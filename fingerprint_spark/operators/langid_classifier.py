@@ -526,6 +526,165 @@ def langid_classify(
     ).drop("__lid_feats", "__lid_margins")
 
 
+def model_micro(model: dict, scale: int = 10**6) -> tuple[list[int], list[int]]:
+    """Fixed-point quantization of the flat weight matrix + bias
+    (HALF_UP at 1/scale): integer margin sums are EXACT in any engine
+    — the perplexity row's micro-logp contract, applied to the softmax.
+    Returns (flat_micro, bias_micro)."""
+    flat = _model_dense_flat(model)
+    fm = [int(_round_half_up(v * scale, 0)) for v in flat]
+    bm = [int(_round_half_up(float(b) * scale, 0)) for b in model["bias"]]
+    return fm, bm
+
+
+def langid_classify_micro(
+    df: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    out_col: str = "lang_pred",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Fixed-point inference for cross-engine oracle contracts.
+
+    Rounding DOUBLE margins to 6dp is not a cross-engine shield: a
+    margin can land ON a decimal half-boundary (measured at sf0.01:
+    1.1315865000000003 vs ...4999999996 across engines — sum-order ulp
+    noise decides the rounding direction). Here the weights are
+    quantized to integers once, so the per-class margin is an EXACT
+    bigint sum in any engine: argmax (the language verdict) is
+    bit-exact, and the softmax's exp() inputs ((m_c - max)/scale, an
+    exact-int-to-double division) are IEEE-identical doubles — the
+    only residual cross-engine surface is the libm exp ulp
+    (~1e-16 relative on the reported prob). Same zero-shuffle
+    single-literal plan shape as langid_classify."""
+    classes = list(model["classes"])
+    L = len(classes)
+    dim, n = int(model["dim"]), int(model.get("ngram", 3))
+    hasher = model.get("hasher", "xxhash")
+    fm, bm = model_micro(model, scale)
+    df = df.withColumn(
+        "__lid_feats", gram_features_col(F.col(text_col), dim, n, hasher)
+    )
+    init = F.array(*[F.lit(b).cast("bigint") for b in bm])
+    if model["weights"]:
+        warr = F.array(*[F.lit(v).cast("bigint") for v in fm])
+        marr = F.aggregate(
+            "__lid_feats",
+            init,
+            lambda acc, i: F.zip_with(
+                acc,
+                F.slice(warr, (i * L + 1).cast("int"), L),
+                lambda a, b: a + b,
+            ),
+        )
+    else:
+        marr = init
+    df = df.withColumn("__lid_m", marr)
+    margins = [F.element_at("__lid_m", c + 1) for c in range(L)]
+    mmax = F.greatest(*margins) if L > 1 else margins[0]
+    es = [
+        F.exp((m - mmax).cast("double") / F.lit(float(scale)))
+        for m in margins
+    ]
+    z = es[0]
+    for e in es[1:]:
+        z = z + e
+    # argmax on the exact INTEGER margins (exp is monotone, so this is
+    # the softmax argmax); ties to the smallest class index via nrank
+    pairs = F.array(
+        *[
+            F.struct(
+                margins[c].alias("m"),
+                F.lit(-c).alias("nrank"),
+                F.lit(classes[c]).alias("lang"),
+            )
+            for c in range(L)
+        ]
+    )
+    best = F.array_max(pairs)
+    # winner's prob = exp(0)/z = 1/z (ties: all tied classes share z)
+    return df.withColumn(
+        out_col,
+        F.struct(
+            best["lang"].alias("lang"), (F.lit(1.0) / z).alias("prob")
+        ),
+    ).drop("__lid_feats", "__lid_m")
+
+
+def langid_classify_micro_arrow(
+    df: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    out_col: str = "lang_pred",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Arrow twin of langid_classify_micro — the SAME fixed-point
+    contract (exact int64 margin sums; argmax on integers; exp inputs
+    are IEEE-identical doubles) at corpus speed. The Column micro fold
+    pays ~1 ms/doc in interpreted HOF md5+conv gram hashing (measured:
+    gram extraction alone is 5.0 s of a 5.5 s sf0.1 pass); here the
+    per-batch gram memo hashes each distinct gram once in C, so the
+    oracle-checked headline row stays fast. Parity with the Column
+    micro fold is exact on lang and ulp-bounded on prob (pytest)."""
+    classes = list(model["classes"])
+    L = len(classes)
+    dim, n = int(model["dim"]), int(model.get("ngram", 3))
+    hasher = model.get("hasher", "xxhash")
+    fm, bm = model_micro(model, scale)
+    weights = np.asarray(fm, dtype=np.int64).reshape(dim, L)
+    bias = np.asarray(bm, dtype=np.int64)
+    fscale = float(scale)
+    if hasher == "xxhash":
+        from ..functions.xxh64 import xxh64_signed
+
+        def gid(g: str) -> int:
+            return xxh64_signed(g.encode("utf-8")) % dim
+
+    elif hasher == "md5":
+
+        def gid(g: str) -> int:
+            return _md5_gram_id(g, dim)
+
+    else:
+        raise ValueError(f"unknown feature hasher: {hasher!r}")
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("lang", T.StringType()),
+                T.StructField("prob", T.DoubleType()),
+            ]
+        )
+    )
+    def classify(texts: pd.Series) -> pd.DataFrame:
+        memo: dict[str, int] = {}
+        out_lang: list[str] = []
+        out_prob = np.empty(len(texts), dtype=np.float64)
+        for i, t in enumerate(texts):
+            ids_set: set[int] = set()
+            for g in grams_py(t, n):
+                idx = memo.get(g)
+                if idx is None:
+                    idx = gid(g)
+                    memo[g] = idx
+                ids_set.add(idx)
+            m = bias.copy()
+            if ids_set:
+                m += weights[
+                    np.fromiter(ids_set, dtype=np.int64, count=len(ids_set))
+                ].sum(axis=0)
+            # exact integer margins: argmax is bit-exact cross-engine
+            # (np.argmax takes the FIRST max = smallest class index);
+            # winner prob = exp(0)/z = 1/z
+            c = int(np.argmax(m))
+            z = np.exp((m - m.max()).astype(np.float64) / fscale).sum()
+            out_lang.append(classes[c])
+            out_prob[i] = 1.0 / z
+        return pd.DataFrame({"lang": out_lang, "prob": out_prob})
+
+    return df.withColumn(out_col, classify(F.col(text_col)))
+
+
 def langid_classify_arrow(
     df: DataFrame,
     model: dict,

@@ -192,3 +192,68 @@ def test_langid_trainer_refusals(spark):
         gram_features_col(F.lit("x"), 64, 3, "fnv")
     with pytest.raises(ValueError, match="unknown feature hasher"):
         gram_feature_ids_py("x", 64, 3, "fnv")
+
+
+def test_langid_micro_matches_double_path(spark):
+    """langid_classify_micro (the fixed-point oracle contract: integer
+    margin sums, exact in any engine) must agree with the double-path
+    Column fold: language EXACTLY, probability within the 1e-6 weight
+    quantization (margins shift <= n_ids * 0.5e-6), on adversarial
+    edges + holdout — and keep the same zero-Exchange zero-Python
+    plan."""
+    from fingerprint_spark.operators.langid_classifier import (
+        langid_classify_micro,
+    )
+
+    m = train_langid_softmax_py(
+        LANGID_TRAIN_FIXTURE, dim=512, epochs=6, hasher="md5"
+    )
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ADVERSARIAL_TEXTS)]
+        + [(100 + i, t) for i, (t, _) in enumerate(LANGID_HOLDOUT_FIXTURE)],
+        "id long, text string",
+    )
+
+    def collect(fn):
+        return {
+            r["id"]: (r["l"], r["p"])
+            for r in fn(df, m)
+            .select(
+                "id",
+                F.col("lang_pred.lang").alias("l"),
+                F.col("lang_pred.prob").alias("p"),
+            )
+            .collect()
+        }
+
+    dbl, mic = collect(langid_classify), collect(langid_classify_micro)
+    assert set(dbl) == set(mic)
+    for i in dbl:
+        assert dbl[i][0] == mic[i][0], f"lang mismatch on id {i}"
+        assert abs(dbl[i][1] - mic[i][1]) <= 1e-3
+
+    # the Arrow micro twin shares the EXACT fixed-point contract with
+    # the Column micro fold: same lang (integer argmax is bit-exact),
+    # prob to libm-exp ulp
+    from fingerprint_spark.operators.langid_classifier import (
+        langid_classify_micro_arrow,
+    )
+
+    mic_a = collect(langid_classify_micro_arrow)
+    for i in mic:
+        assert mic[i][0] == mic_a[i][0], f"micro lang mismatch on id {i}"
+        assert abs(mic[i][1] - mic_a[i][1]) <= 1e-12
+
+    plan = (
+        langid_classify_micro(df, m)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    plan_a = (
+        langid_classify_micro_arrow(df, m)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan_a and "Join" not in plan_a
+    assert plan_a.count("ArrowEvalPython") == 1

@@ -220,11 +220,9 @@ def _md5_gram_id(g: str, dim: int) -> int:
     return int(hashlib.md5(("g:" + g).encode()).hexdigest()[:15], 16) % dim
 
 
-def gram_feature_ids_py(
-    text: str | None, dim: int, n: int = 3, hasher: str = "xxhash"
-) -> list[int]:
-    """Python twin of gram_features_col: distinct hashed gram ids in
-    first-occurrence order."""
+def _gid_fn(hasher: str, dim: int):
+    """THE Python-side gram->feature-id dispatch, shared by the twin
+    and both Arrow kernels (one place to add a hasher)."""
     if hasher == "xxhash":
         from ..functions.xxh64 import xxh64_signed
 
@@ -238,6 +236,15 @@ def gram_feature_ids_py(
 
     else:
         raise ValueError(f"unknown feature hasher: {hasher!r}")
+    return gid
+
+
+def gram_feature_ids_py(
+    text: str | None, dim: int, n: int = 3, hasher: str = "xxhash"
+) -> list[int]:
+    """Python twin of gram_features_col: distinct hashed gram ids in
+    first-occurrence order."""
+    gid = _gid_fn(hasher, dim)
     out: dict[int, None] = {}
     for g in grams_py(text, n):
         out[gid(g)] = None
@@ -287,6 +294,14 @@ def train_langid_softmax(
     ]
     if not classes:
         raise ValueError("train_langid_softmax: empty training set")
+    if any(c is None for c in classes):
+        # a NULL label would NULL every residual downstream (the
+        # equality comparison propagates NULL through the gradient) —
+        # refuse cleanly instead of producing a TypeError traceback
+        raise ValueError(
+            f"train_langid_softmax: NULL {label_col!r} label in "
+            "training set — filter or fill labels first"
+        )
     L = len(classes)
     base = df.select(
         F.col(label_col).alias("__lbl"),
@@ -370,9 +385,15 @@ def train_langid_softmax_py(
     gradient rounding — learned weights are bit-identical to the Spark
     trainer's (the margin-sum order differs only in the last ulp; the
     rounding absorbs it, same argument as train_quality_logreg_py)."""
-    classes = sorted({lbl for _, lbl in rows})
-    if not classes:
+    labels = {lbl for _, lbl in rows}
+    if not labels:
         raise ValueError("train_langid_softmax_py: empty training set")
+    if any(lbl is None for lbl in labels):
+        raise ValueError(
+            "train_langid_softmax_py: NULL label in training set — "
+            "filter or fill labels first"
+        )
+    classes = sorted(labels)
     L = len(classes)
     feats = [
         (
@@ -428,12 +449,24 @@ def langid_model_from_json(s: str) -> dict:
         m = json.loads(s)
         classes = [str(c) for c in m["classes"]]
         L = len(classes)
+        if L == 0:
+            raise ValueError("model has no classes")
         bias = [float(b) for b in m["bias"]]
         weights = {
             int(i): [float(x) for x in v] for i, v in m["weights"].items()
         }
         if len(bias) != L or any(len(v) != L for v in weights.values()):
             raise ValueError("weight/bias width != number of classes")
+        dim = int(m["dim"])
+        # reject out-of-range feature indices HERE: a negative key
+        # would silently corrupt the dense matrix tail via Python
+        # negative indexing in _model_dense_flat; a key >= dim would
+        # IndexError deep inside inference instead of failing cleanly
+        bad = [i for i in weights if not 0 <= i < dim]
+        if bad:
+            raise ValueError(
+                f"weight index out of range [0, {dim}): {bad[:3]}"
+            )
         return {
             "classes": classes,
             "weights": weights,
@@ -450,8 +483,15 @@ def _model_dense_flat(model: dict) -> list[float]:
     """Flattened dense weight matrix, layout idx * L + c — one array
     literal shared by the Column fold and the Arrow kernel."""
     L = len(model["classes"])
-    dense = [0.0] * (int(model["dim"]) * L)
+    dim = int(model["dim"])
+    dense = [0.0] * (dim * L)
     for idx, vec in model["weights"].items():
+        if not 0 <= int(idx) < dim:
+            # negative keys would WRITE into the matrix tail via
+            # Python negative indexing — corrupt weights, no error
+            raise ValueError(
+                f"weight index {idx} out of range [0, {dim})"
+            )
         for c in range(L):
             dense[int(idx) * L + c] = float(vec[c])
     return dense
@@ -634,19 +674,7 @@ def langid_classify_micro_arrow(
     weights = np.asarray(fm, dtype=np.int64).reshape(dim, L)
     bias = np.asarray(bm, dtype=np.int64)
     fscale = float(scale)
-    if hasher == "xxhash":
-        from ..functions.xxh64 import xxh64_signed
-
-        def gid(g: str) -> int:
-            return xxh64_signed(g.encode("utf-8")) % dim
-
-    elif hasher == "md5":
-
-        def gid(g: str) -> int:
-            return _md5_gram_id(g, dim)
-
-    else:
-        raise ValueError(f"unknown feature hasher: {hasher!r}")
+    gid = _gid_fn(hasher, dim)
 
     @F.pandas_udf(
         T.StructType(
@@ -703,19 +731,7 @@ def langid_classify_arrow(
     hasher = model.get("hasher", "xxhash")
     weights = np.asarray(_model_dense_flat(model)).reshape(dim, L)
     bias = np.asarray([float(b) for b in model["bias"]])
-    if hasher == "xxhash":
-        from ..functions.xxh64 import xxh64_signed
-
-        def gid(g: str) -> int:
-            return xxh64_signed(g.encode("utf-8")) % dim
-
-    elif hasher == "md5":
-
-        def gid(g: str) -> int:
-            return _md5_gram_id(g, dim)
-
-    else:
-        raise ValueError(f"unknown feature hasher: {hasher!r}")
+    gid = _gid_fn(hasher, dim)
 
     @F.pandas_udf(
         T.StructType(

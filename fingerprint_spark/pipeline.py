@@ -243,8 +243,17 @@ def quality_filter_text(
             langid_classify_arrow,
         )
 
-        classify = (langid_classify_arrow if langid_kernel == "arrow"
-                    else langid_classify)
+        if langid_kernel == "arrow":
+            classify = langid_classify_arrow
+        elif langid_kernel == "column":
+            classify = langid_classify
+        else:
+            # a typo here would otherwise silently pick the
+            # 46x-slower Column fold — fail loudly instead
+            raise ValueError(
+                f"unknown langid_kernel: {langid_kernel!r} "
+                "(expected 'arrow' or 'column')"
+            )
         df = classify(df, langid_model, text_col=text_col,
                       out_col="_lid")
         df = (

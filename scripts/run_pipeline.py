@@ -471,8 +471,10 @@ def _curate_mode(argv: list[str]) -> int:
     if "langid_model" in opts:
         # opt-in trained language stage: the model file comes from
         # `train-langid` (fastText-shaped hashed char-n-gram softmax);
-        # it replaces the marker-word scorer inside the quality chain
-        # — still a pure-Column zero-shuffle fold
+        # it replaces the marker-word scorer inside the quality chain.
+        # Still zero-shuffle, but via the Arrow kernel (one
+        # ArrowEvalPython stage — the 46x-measured corpus path), not
+        # the pure-Column fold
         from fingerprint_spark.operators.langid_classifier import (
             langid_model_from_json,
         )
@@ -779,16 +781,18 @@ def _train_langid_mode(argv: list[str]) -> int:
         train_langid_softmax,
     )
 
+    from pyspark.errors import AnalysisException
+
     text_col = opts.get("text_col", "text")
     label_col = opts.get("label_col", "lang")
     hasher = opts.get("hasher", "xxhash")
-    df = spark.read.parquet(paths[0])
-    for c in (text_col, label_col):
-        if c not in df.columns:
-            print(f"error: column {c!r} not in {paths[0]}",
-                  file=sys.stderr)
-            return 2
     try:
+        df = spark.read.parquet(paths[0])
+        for c in (text_col, label_col):
+            if c not in df.columns:
+                print(f"error: column {c!r} not in {paths[0]}",
+                      file=sys.stderr)
+                return 2
         model = train_langid_softmax(
             df, text_col=text_col, label_col=label_col,
             dim=int(opts.get("dim", "2048")),
@@ -798,7 +802,9 @@ def _train_langid_mode(argv: list[str]) -> int:
             hasher=hasher,
             grad_round_dp=6,
         )
-    except ValueError as e:
+    except (ValueError, AnalysisException) as e:
+        # AnalysisException: missing/corrupt input path must stay a
+        # clean one-line error, not a traceback (the train-lm contract)
         print(f"error: {e}", file=sys.stderr)
         return 2
     scored = langid_classify_arrow(

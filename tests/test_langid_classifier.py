@@ -257,3 +257,49 @@ def test_langid_micro_matches_double_path(spark):
     )
     assert "Exchange" not in plan_a and "Join" not in plan_a
     assert plan_a.count("ArrowEvalPython") == 1
+
+
+def test_langid_model_validation_refusals(spark):
+    """Review-pass contracts: out-of-range weight indices (negative
+    keys would silently corrupt the dense matrix tail via Python
+    negative indexing), empty class lists, NULL training labels, and
+    kernel typos must all fail LOUDLY with ValueError — never corrupt
+    silently or traceback deep inside inference."""
+    import json
+
+    from fingerprint_spark.operators.langid_classifier import (
+        _model_dense_flat,
+        langid_model_from_json,
+    )
+
+    base = {"classes": ["de", "en"], "bias": [0.0, 0.0], "dim": 8,
+            "ngram": 3, "hasher": "md5"}
+    with pytest.raises(ValueError, match="out of range"):
+        langid_model_from_json(
+            json.dumps({**base, "weights": {"-1": [1.0, 2.0]}}))
+    with pytest.raises(ValueError, match="out of range"):
+        langid_model_from_json(
+            json.dumps({**base, "weights": {"99999": [1.0, 2.0]}}))
+    with pytest.raises(ValueError, match="no classes"):
+        langid_model_from_json(
+            json.dumps({**base, "classes": [], "bias": [],
+                        "weights": {}}))
+    with pytest.raises(ValueError, match="out of range"):
+        _model_dense_flat({**base, "weights": {-1: [1.0, 2.0]}})
+
+    with pytest.raises(ValueError, match="NULL"):
+        train_langid_softmax(
+            spark.createDataFrame(
+                [("hello", "en"), ("welt", None)],
+                "text string, lang string",
+            )
+        )
+    with pytest.raises(ValueError, match="NULL"):
+        train_langid_softmax_py([("hello", "en"), ("welt", None)])
+
+    from fingerprint_spark.pipeline import quality_filter_text
+
+    m = train_langid_softmax_py(LANGID_TRAIN_FIXTURE[:4], dim=64, epochs=1)
+    df = spark.createDataFrame([("https://h/1", "hi")], "url string, text string")
+    with pytest.raises(ValueError, match="unknown langid_kernel"):
+        quality_filter_text(df, langid_model=m, langid_kernel="Arrow")

@@ -856,6 +856,9 @@ def test_train_langid_cli_and_curate_stage(spark, tmp_path, capsys):
     assert rp._train_langid_mode(
         ["train-langid", labeled, "--output", model_path,
          "--label-col", "nope"]) == 2
+    assert rp._train_langid_mode(
+        ["train-langid", str(tmp_path / "missing.parquet"),
+         "--output", model_path]) == 2
     assert rp._curate_mode(
         ["curate", corpus, "--output", out,
          "--langid-model", str(tmp_path / "nope.json")]) == 2

@@ -110,6 +110,49 @@ def _verdict(
     return reason.isNull(), reason
 
 
+def _langid_stage(
+    df: DataFrame,
+    text_col: str,
+    langid_model: dict | None,
+    langid_kernel: str,
+) -> DataFrame:
+    """THE language-ID stage dispatch, shared by the html chain
+    (quality_filter) and the text chain (quality_filter_text): emits
+    lang_detected + lang_score columns from either the marker-word
+    Column scorer (default) or the trained softmax (langid_model
+    supplied; lang_score = softmax probability). 'arrow' is the
+    measured corpus kernel (46x the Column fold); 'column' is the
+    zero-Python parity anchor; anything else raises — a typo would
+    otherwise silently pick the slow path."""
+    if langid_model is None:
+        df = df.withColumn("_lid", langid_best(F.col(text_col)))
+        return (
+            df.withColumn("lang_detected", F.col("_lid.lang"))
+            .withColumn("lang_score", F.col("_lid.score"))
+            .drop("_lid")
+        )
+    from .operators.langid_classifier import (
+        langid_classify,
+        langid_classify_arrow,
+    )
+
+    if langid_kernel == "arrow":
+        classify = langid_classify_arrow
+    elif langid_kernel == "column":
+        classify = langid_classify
+    else:
+        raise ValueError(
+            f"unknown langid_kernel: {langid_kernel!r} "
+            "(expected 'arrow' or 'column')"
+        )
+    df = classify(df, langid_model, text_col=text_col, out_col="_lid")
+    return (
+        df.withColumn("lang_detected", F.col("_lid.lang"))
+        .withColumn("lang_score", F.col("_lid.prob"))
+        .drop("_lid")
+    )
+
+
 def quality_filter(
     df: DataFrame,
     rules: list[FingerprintDefinition] | None = None,
@@ -117,12 +160,20 @@ def quality_filter(
     target_lang: str = "en",
     ppl_threshold: float = DEFAULT_PPL_THRESHOLD,
     html_col: str = "html",
+    langid_model: dict | None = None,
+    langid_kernel: str = "arrow",
 ) -> DataFrame:
     """Full chain over the input_hint table (url, warc_ts, html, text, lang).
 
     Returns the input columns plus: extracted_text, fingerprint (match
     struct), children, child_routing, lang_detected, lang_score, ppl,
     stats, flags, scrub (counters), scrubbed_text, keep, drop_reason.
+
+    ``langid_model`` swaps stage 2's marker-word scorer for the
+    TRAINED fastText-shaped softmax (the curate --langid-model
+    semantics, now first-class in the flagship chain); lang_score then
+    carries the softmax probability. ``langid_kernel`` as in
+    quality_filter_text ('arrow' default / 'column').
     """
     if rules is None:
         rules = builtin_rules()
@@ -152,11 +203,13 @@ def quality_filter(
     }
     df = apply_match(df, rules, env, result_col="fingerprint")
 
-    # stage 2: language ID (pure Column exprs)
-    df = df.withColumn("_lid", langid_best(F.col("extracted_text")))
-    df = df.withColumn("lang_detected", F.col("_lid.lang")).withColumn(
-        "lang_score", F.col("_lid.score")
-    ).drop("_lid")
+    # stage 2: language ID — marker-word Column exprs by default, or
+    # the trained softmax when a model is supplied (same dispatch as
+    # quality_filter_text; the verdict fold below reads the shared
+    # lang struct either way)
+    df = _langid_stage(
+        df, "extracted_text", langid_model, langid_kernel
+    )
 
     # stage 3: perplexity — already computed in the enrich pass (stage 0)
 
@@ -237,37 +290,7 @@ def quality_filter_text(
     test_langid_classifier).
     """
     text = F.col(text_col)
-    if langid_model is not None:
-        from .operators.langid_classifier import (
-            langid_classify,
-            langid_classify_arrow,
-        )
-
-        if langid_kernel == "arrow":
-            classify = langid_classify_arrow
-        elif langid_kernel == "column":
-            classify = langid_classify
-        else:
-            # a typo here would otherwise silently pick the
-            # 46x-slower Column fold — fail loudly instead
-            raise ValueError(
-                f"unknown langid_kernel: {langid_kernel!r} "
-                "(expected 'arrow' or 'column')"
-            )
-        df = classify(df, langid_model, text_col=text_col,
-                      out_col="_lid")
-        df = (
-            df.withColumn("lang_detected", F.col("_lid.lang"))
-            .withColumn("lang_score", F.col("_lid.prob"))
-            .drop("_lid")
-        )
-    else:
-        df = df.withColumn("_lid", langid_best(text))
-        df = (
-            df.withColumn("lang_detected", F.col("_lid.lang"))
-            .withColumn("lang_score", F.col("_lid.score"))
-            .drop("_lid")
-        )
+    df = _langid_stage(df, text_col, langid_model, langid_kernel)
     df = df.withColumn("stats", text_stats(text))
     df = df.withColumn("flags", gopher_quality_flags(F.col("stats")))
     df = df.withColumn("scrub", scrub_counts(text))

@@ -73,6 +73,7 @@ OPTIONS = [
     {"flag": "--no-witness", "help": "skip the witness ledger append"},
     {"flag": "--keep-parsed", "help": "persist parsed structs for --revalidate"},
     {"flag": "--revalidate", "help": "incremental re-validation over stored parsed structs"},
+    {"flag": "--langid-model", "help": "trained langid model file (train-langid output)"},
     {"flag": "--describe", "help": "print operator descriptor JSON and exit"},
     {"flag": "--schema", "help": "print output record JSON-Schema and exit"},
     {"flag": "--list", "help": "print registered rules and exit"},
@@ -1022,6 +1023,14 @@ def main() -> int:
         "no html parse, no Python stage (north_star incremental "
         "re-validation)",
     )
+    ap.add_argument(
+        "--langid-model",
+        default=None,
+        metavar="MODEL.json",
+        help="train-langid output: swap the marker-word language "
+        "scorer for the trained fastText-shaped softmax in the "
+        "flagship chain (lang_score becomes the softmax probability)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -1053,6 +1062,19 @@ def main() -> int:
             return 2
     else:
         rules = registry.list()
+
+    langid_model = None
+    if args.langid_model:
+        from fingerprint_spark.operators.langid_classifier import (
+            langid_model_from_json,
+        )
+
+        try:
+            with open(args.langid_model) as fh:
+                langid_model = langid_model_from_json(fh.read())
+        except (OSError, ValueError) as e:
+            print(f"error: --langid-model: {e}", file=sys.stderr)
+            return 2
 
     if args.revalidate:
         df = spark.read.parquet(args.input)
@@ -1089,7 +1111,7 @@ def main() -> int:
             if args.keep_parsed:
                 keep.append("parsed")
             return out.select(*keep)
-        out = quality_filter(part, rules=rules)
+        out = quality_filter(part, rules=rules, langid_model=langid_model)
         cols = [
             "url", "warc_ts", "keep", "drop_reason", "scrubbed_text",
             "lang_detected", "ppl", "simhash", "scrub", "fingerprint",

@@ -9,10 +9,15 @@
 
 Execution shape (the 100 TB design):
 
-- ONE vectorized parse UDF per document (the only expensive Python), then
-  pure Column expressions — the whole chain is narrow transformations, so
-  the plan is scan -> project -> write with ZERO shuffles. Throughput
-  scales linearly with executors because no stage exchanges data.
+- ONE vectorized parse UDF per document (the only expensive Python in
+  the default chain), then pure Column expressions — the whole chain is
+  narrow transformations, so the plan is scan -> project -> write with
+  ZERO shuffles. Throughput scales linearly with executors because no
+  stage exchanges data. Opting into a TRAINED language model
+  (langid_model + the default 'arrow' kernel) adds a second
+  ArrowEvalPython stage — still narrow, still zero shuffles; the
+  'column' kernel keeps the single-UDF shape at a measured 46x
+  inference cost.
 - Template rules compile at the driver and ride the Catalyst plan as
   literals (broadcast versioned lookup structures). Re-validation against
   a new template version is an incremental pass over the same parsed

@@ -37,6 +37,7 @@ OUTPUT_SCHEMA = {
         "drop_reason": {"type": ["string", "null"]},
         "scrubbed_text": {"type": ["string", "null"]},
         "lang_detected": {"type": "string"},
+        "lang_score": {"type": "number"},
         "ppl": {"type": ["number", "null"]},
         "simhash": {"type": "integer"},
         "scrub": {"type": "object"},
@@ -476,13 +477,10 @@ def _curate_mode(argv: list[str]) -> int:
         # Still zero-shuffle, but via the Arrow kernel (one
         # ArrowEvalPython stage — the 46x-measured corpus path), not
         # the pure-Column fold
-        from fingerprint_spark.operators.langid_classifier import (
-            langid_model_from_json,
-        )
-
         try:
-            with open(opts["langid_model"]) as fh:
-                langid_model = langid_model_from_json(fh.read())
+            langid_model, _ = _load_langid_model_file(
+                opts["langid_model"]
+            )
         except (OSError, ValueError) as e:
             print(f"error: --langid-model: {e}", file=sys.stderr)
             return 2
@@ -752,6 +750,26 @@ def _train_lm_mode(argv: list[str]) -> int:
         "order": model.order, "n_grams": len(model.logp),
     }))
     return 0
+
+
+def _load_langid_model_file(path: str) -> tuple[dict, str]:
+    """Load + validate a train-langid MODEL.json; returns (model,
+    content-digest). ONE loader for the run and curate surfaces so
+    validation/exception behavior cannot diverge. Raises
+    OSError/ValueError (callers print their own clean one-line
+    error)."""
+    import hashlib
+
+    from fingerprint_spark.operators.langid_classifier import (
+        langid_model_from_json,
+    )
+
+    with open(path) as fh:
+        raw = fh.read()
+    return (
+        langid_model_from_json(raw),
+        hashlib.md5(raw.encode()).hexdigest()[:12],
+    )
 
 
 def _train_langid_mode(argv: list[str]) -> int:
@@ -1063,15 +1081,19 @@ def main() -> int:
     else:
         rules = registry.list()
 
-    langid_model = None
+    langid_model = langid_digest = None
     if args.langid_model:
-        from fingerprint_spark.operators.langid_classifier import (
-            langid_model_from_json,
-        )
-
+        if args.revalidate:
+            # the revalidate path is a pure rule-expression pass with
+            # no language stage — silently ignoring a verdict-changing
+            # flag would mislead
+            print("error: --langid-model has no effect with "
+                  "--revalidate", file=sys.stderr)
+            return 2
         try:
-            with open(args.langid_model) as fh:
-                langid_model = langid_model_from_json(fh.read())
+            langid_model, langid_digest = _load_langid_model_file(
+                args.langid_model
+            )
         except (OSError, ValueError) as e:
             print(f"error: --langid-model: {e}", file=sys.stderr)
             return 2
@@ -1086,8 +1108,17 @@ def main() -> int:
     else:
         df = read_corpus(spark, args.input, day=args.day)
 
+    # the langid model is a VERDICT-CHANGING parameter: fold its
+    # content digest into the checkpoint params hash so a resume with
+    # a different (or newly added / removed) model earns ZERO resume
+    # credit from the old buckets — every bucket recomputes under the
+    # new hash instead of silently mixing marker-scored and
+    # trained-scored verdicts in one output
+    params_hash = args.params_version
+    if langid_digest is not None:
+        params_hash = f"{params_hash}+langid:{langid_digest}"
     run = CheckpointedRun(
-        args.output, n_buckets=args.buckets, params_hash=args.params_version
+        args.output, n_buckets=args.buckets, params_hash=params_hash
     )
     try:
         committed = run.completed_buckets()
@@ -1112,10 +1143,13 @@ def main() -> int:
                 keep.append("parsed")
             return out.select(*keep)
         out = quality_filter(part, rules=rules, langid_model=langid_model)
+        # lang_score in the output: the marker fraction vs softmax
+        # probability is the observable difference between language
+        # tiers (downstream threshold tuning + test observability)
         cols = [
             "url", "warc_ts", "keep", "drop_reason", "scrubbed_text",
-            "lang_detected", "ppl", "simhash", "scrub", "fingerprint",
-            "child_routing", "warnings", "tool_versions",
+            "lang_detected", "lang_score", "ppl", "simhash", "scrub",
+            "fingerprint", "child_routing", "warnings", "tool_versions",
         ]
         if args.keep_parsed:
             cols.append("parsed")
@@ -1160,6 +1194,9 @@ def main() -> int:
                 "rules": [r.fingerprint_id for r in rules],
                 "buckets": args.buckets,
                 "params_version": args.params_version,
+                # provenance: two runs differing only in the trained
+                # language model must be distinguishable in the ledger
+                "langid_model": langid_digest,
             },
             outcome=outcome,
             exit_code=0 if summary["complete"] else 1,

@@ -904,21 +904,74 @@ def test_spark_submit_langid_model_stage(spark, tmp_path):
     assert summary["metrics"]["docs_scanned"] == 60
 
     got = {
-        row["url"]: (row["lang_detected"], row["drop_reason"])
+        row["url"]: (row["lang_detected"], round(row["lang_score"], 9),
+                     row["drop_reason"])
         for row in spark.read.parquet(out + "/bucket=*")
-        .select("url", "lang_detected", "drop_reason").collect()
+        .select("url", "lang_detected", "lang_score", "drop_reason")
+        .collect()
     }
     ref_df = spark.read.parquet(corpus)
     want = {
-        row["url"]: (row["lang_detected"], row["drop_reason"])
+        row["url"]: (row["lang_detected"], round(row["lang_score"], 9),
+                     row["drop_reason"])
         for row in quality_filter(ref_df, langid_model=model)
-        .select("url", "lang_detected", "drop_reason").collect()
+        .select("url", "lang_detected", "lang_score", "drop_reason")
+        .collect()
     }
     assert got == want
-    # the trained scorer actually drove the verdict: every non-en
-    # detection must carry the langid drop reason (template hits and
-    # parse skips outrank it in the reason chain)
-    for url, (lang, reason) in want.items():
-        if lang != "en" and reason is not None and \
-                reason.startswith("langid:"):
-            assert reason == f"langid:{lang}"
+    # the trained scorer ACTUALLY drove the output (a main() that
+    # silently dropped --langid-model would still pass a
+    # marker-vs-marker parity check): softmax probabilities are
+    # numerically distinct from marker-token fractions on every doc
+    marker = {
+        row["url"]: round(row["lang_score"], 9)
+        for row in quality_filter(ref_df)
+        .select("url", "lang_score").collect()
+    }
+    n_diff = sum(
+        1 for url, (_l, score, _r) in got.items() if score != marker[url]
+    )
+    assert n_diff > len(got) * 0.9, (
+        f"only {n_diff}/{len(got)} scores differ from the marker tier "
+        "— did the CLI drop --langid-model?"
+    )
+
+    # the model digest is folded into the checkpoint params hash: a
+    # resume WITHOUT the model earns zero resume credit (all buckets
+    # recompute under the marker hash) — never a mixed-verdict output
+    r2 = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", zip_path,
+         os.path.join(REPO, "scripts", "run_pipeline.py"),
+         "--input", corpus, "--output", out, "--buckets", "2",
+         "--resume"],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    s2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert s2["processed_buckets"] == [0, 1]
+    assert s2["skipped_buckets"] == []
+    # ...and the recomputed output is now uniformly marker-scored
+    after = {
+        row["url"]: round(row["lang_score"], 9)
+        for row in spark.read.parquet(out + "/bucket=*")
+        .select("url", "lang_score").collect()
+    }
+    assert after == marker
+
+    # --langid-model with --revalidate: refused (the revalidate pass
+    # has no language stage; silently ignoring the flag would mislead)
+    r3 = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", zip_path,
+         os.path.join(REPO, "scripts", "run_pipeline.py"),
+         "--input", corpus, "--output", str(tmp_path / "o3"),
+         "--buckets", "2", "--revalidate", "--langid-model", model_path],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert r3.returncode == 2
+    # spark-submit merges the python driver's stderr into stdout —
+    # check both (the committed-buckets refusal test's pattern)
+    assert "no effect with --revalidate" in (r3.stderr + r3.stdout)

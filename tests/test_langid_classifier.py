@@ -303,3 +303,43 @@ def test_langid_model_validation_refusals(spark):
     df = spark.createDataFrame([("https://h/1", "hi")], "url string, text string")
     with pytest.raises(ValueError, match="unknown langid_kernel"):
         quality_filter_text(df, langid_model=m, langid_kernel="Arrow")
+
+
+@pytest.mark.parametrize("hasher", ["xxhash", "md5"])
+def test_langid_gram_twin_randomized_cross_check(spark, hasher):
+    """300 seeded-random strings (mixed unicode planes incl. case-fold
+    and wide-space chars, lengths 0-300 crossing the 2000-char
+    truncation via a few long tails) produce IDENTICAL distinct
+    feature-id sequences from the Column extractor and the Python twin
+    — the contract every oracle row and Arrow kernel stands on. One
+    Spark job, not per-example (the xxh64 cross-check pattern)."""
+    import random
+
+    rng = random.Random(0xBEEF)
+    pool = (
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        "0123456789 \t\n'\"«»"
+        "äöüÄÖÜßéèêñçİıΣσς中文字日本語한국어🙂🚀 　  "
+    )
+    cases = [
+        "".join(rng.choice(pool) for _ in range(rng.randrange(0, 301)))
+        for _ in range(296)
+    ] + [
+        "x" * 2500,                      # past truncation
+        ("é" * 1999) + "ABCDEF",         # truncation at a non-ASCII run
+        "İ" * 50,                        # lower() length-changing char
+        "",                              # empty
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, t string"
+    )
+    got = {
+        r["i"]: list(r["f"])
+        for r in df.select(
+            "i", gram_features_col(F.col("t"), 512, 3, hasher).alias("f")
+        ).collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i] == gram_feature_ids_py(c, 512, 3, hasher), (
+            i, repr(c[:30])
+        )

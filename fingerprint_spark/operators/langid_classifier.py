@@ -184,6 +184,10 @@ def gram_features_col(
     portable contract path ('g:' domain-separates gram features from
     the quality classifier's 'f:' word features).
     """
+    if dim <= 0:
+        # pmod(x, 0) is NULL, which would silently propagate NULL
+        # feature ids through training and inference
+        raise ValueError(f"feature dim must be >= 1, got {dim}")
     grams = char_gram_col(text, n)
     if hasher == "xxhash":
         hashed = F.transform(
@@ -223,6 +227,8 @@ def _md5_gram_id(g: str, dim: int) -> int:
 def _gid_fn(hasher: str, dim: int):
     """THE Python-side gram->feature-id dispatch, shared by the twin
     and both Arrow kernels (one place to add a hasher)."""
+    if dim <= 0:
+        raise ValueError(f"feature dim must be >= 1, got {dim}")
     if hasher == "xxhash":
         from ..functions.xxh64 import xxh64_signed
 
@@ -458,6 +464,10 @@ def langid_model_from_json(s: str) -> dict:
         if len(bias) != L or any(len(v) != L for v in weights.values()):
             raise ValueError("weight/bias width != number of classes")
         dim = int(m["dim"])
+        if dim <= 0:
+            # dim=0 with empty weights would pass the (vacuous) index
+            # check below, then crash as '% 0' deep inside inference
+            raise ValueError(f"dim must be >= 1, got {dim}")
         # reject out-of-range feature indices HERE: a negative key
         # would silently corrupt the dense matrix tail via Python
         # negative indexing in _model_dense_flat; a key >= dim would
@@ -531,15 +541,7 @@ def langid_classify(
     init = F.array(*[F.lit(float(b)) for b in model["bias"]])
     if model["weights"]:
         warr = F.array(*[F.lit(v) for v in flat])
-        marr = F.aggregate(
-            "__lid_feats",
-            init,
-            lambda acc, i: F.zip_with(
-                acc,
-                F.slice(warr, (i * L + 1).cast("int"), L),
-                lambda a, b: a + b,
-            ),
-        )
+        marr = _margin_fold_col("__lid_feats", init, warr, L)
     else:
         marr = init
     df = df.withColumn("__lid_margins", marr)
@@ -564,6 +566,49 @@ def langid_classify(
         out_col,
         F.struct(best["lang"].alias("lang"), best["prob"].alias("prob")),
     ).drop("__lid_feats", "__lid_margins")
+
+
+def _margin_fold_col(feats, init, warr, L: int):
+    """THE dense-literal margin fold (Column side), shared by the
+    double and micro folds: per gram id, slice the L-wide weight row
+    out of the flat literal and zip-add into the accumulator. The
+    literal embeds exactly ONCE in the plan (per-class folds each
+    embedding their own copy OOM'd the driver at dim=2048)."""
+    return F.aggregate(
+        feats,
+        init,
+        lambda acc, i: F.zip_with(
+            acc,
+            F.slice(warr, (i * L + 1).cast("int"), L),
+            lambda a, b: a + b,
+        ),
+    )
+
+
+def _batch_margins(texts, bias: np.ndarray, weights: np.ndarray,
+                   n: int, gid):
+    """THE per-batch margin extraction (Arrow side), shared by both
+    kernels: per-batch gram -> feature-id memo (char n-grams are
+    highly repetitive, the memo hit rate is near 1) + numpy row-sum
+    fold. Yields one margin vector per text. NOTE: the row-sum order
+    is numpy's, not the Column fold's first-occurrence order — exact
+    double-path sums can differ in the last ulp (the micro kernels'
+    integer sums are order-free and therefore bit-exact)."""
+    memo: dict[str, int] = {}
+    for t in texts:
+        ids_set: set[int] = set()
+        for g in grams_py(t, n):
+            idx = memo.get(g)
+            if idx is None:
+                idx = gid(g)
+                memo[g] = idx
+            ids_set.add(idx)
+        m = bias.copy()
+        if ids_set:
+            m += weights[
+                np.fromiter(ids_set, dtype=np.int64, count=len(ids_set))
+            ].sum(axis=0)
+        yield m
 
 
 def model_micro(model: dict, scale: int = 10**6) -> tuple[list[int], list[int]]:
@@ -608,15 +653,7 @@ def langid_classify_micro(
     init = F.array(*[F.lit(b).cast("bigint") for b in bm])
     if model["weights"]:
         warr = F.array(*[F.lit(v).cast("bigint") for v in fm])
-        marr = F.aggregate(
-            "__lid_feats",
-            init,
-            lambda acc, i: F.zip_with(
-                acc,
-                F.slice(warr, (i * L + 1).cast("int"), L),
-                lambda a, b: a + b,
-            ),
-        )
+        marr = _margin_fold_col("__lid_feats", init, warr, L)
     else:
         marr = init
     df = df.withColumn("__lid_m", marr)
@@ -685,22 +722,9 @@ def langid_classify_micro_arrow(
         )
     )
     def classify(texts: pd.Series) -> pd.DataFrame:
-        memo: dict[str, int] = {}
         out_lang: list[str] = []
         out_prob = np.empty(len(texts), dtype=np.float64)
-        for i, t in enumerate(texts):
-            ids_set: set[int] = set()
-            for g in grams_py(t, n):
-                idx = memo.get(g)
-                if idx is None:
-                    idx = gid(g)
-                    memo[g] = idx
-                ids_set.add(idx)
-            m = bias.copy()
-            if ids_set:
-                m += weights[
-                    np.fromiter(ids_set, dtype=np.int64, count=len(ids_set))
-                ].sum(axis=0)
+        for i, m in enumerate(_batch_margins(texts, bias, weights, n, gid)):
             # exact integer margins: argmax is bit-exact cross-engine
             # (np.argmax takes the FIRST max = smallest class index);
             # winner prob = exp(0)/z = 1/z
@@ -742,22 +766,9 @@ def langid_classify_arrow(
         )
     )
     def classify(texts: pd.Series) -> pd.DataFrame:
-        memo: dict[str, int] = {}
         out_lang: list[str] = []
         out_prob = np.empty(len(texts), dtype=np.float64)
-        for i, t in enumerate(texts):
-            ids_set: set[int] = set()
-            for g in grams_py(t, n):
-                idx = memo.get(g)
-                if idx is None:
-                    idx = gid(g)
-                    memo[g] = idx
-                ids_set.add(idx)
-            m = bias.copy()
-            if ids_set:
-                m += weights[
-                    np.fromiter(ids_set, dtype=np.int64, count=len(ids_set))
-                ].sum(axis=0)
+        for i, m in enumerate(_batch_margins(texts, bias, weights, n, gid)):
             m -= m.max()
             e = np.exp(m)
             p = e / e.sum()

@@ -115,11 +115,15 @@ def _verdict(
     return reason.isNull(), reason
 
 
+DEFAULT_LANGID_THRESHOLD = 0.5  # CCNet's fastText-prob gate
+
+
 def _langid_stage(
     df: DataFrame,
     text_col: str,
     langid_model: dict | None,
     langid_kernel: str,
+    langid_threshold: float = DEFAULT_LANGID_THRESHOLD,
 ) -> DataFrame:
     """THE language-ID stage dispatch, shared by the html chain
     (quality_filter) and the text chain (quality_filter_text): emits
@@ -128,7 +132,15 @@ def _langid_stage(
     supplied; lang_score = softmax probability). 'arrow' is the
     measured corpus kernel (46x the Column fold); 'column' is the
     zero-Python parity anchor; anything else raises — a typo would
-    otherwise silently pick the slow path."""
+    otherwise silently pick the slow path.
+
+    langid_threshold is the trained tier's UNKNOWN-language gate (the
+    marker tier's MIN_SCORE analog; CCNet gates fastText lid at prob
+    0.5): a softmax always emits SOME trained class, so an
+    out-of-class document (a language the model never saw) would
+    otherwise be force-assigned — below-threshold predictions become
+    'und' (and drop as langid:und downstream), with lang_score still
+    carrying the rejected argmax probability for auditability."""
     if langid_model is None:
         df = df.withColumn("_lid", langid_best(F.col(text_col)))
         return (
@@ -152,7 +164,13 @@ def _langid_stage(
         )
     df = classify(df, langid_model, text_col=text_col, out_col="_lid")
     return (
-        df.withColumn("lang_detected", F.col("_lid.lang"))
+        df.withColumn(
+            "lang_detected",
+            F.when(
+                F.col("_lid.prob") >= F.lit(float(langid_threshold)),
+                F.col("_lid.lang"),
+            ).otherwise(F.lit(UNKNOWN_LANG)),
+        )
         .withColumn("lang_score", F.col("_lid.prob"))
         .drop("_lid")
     )
@@ -167,6 +185,7 @@ def quality_filter(
     html_col: str = "html",
     langid_model: dict | None = None,
     langid_kernel: str = "arrow",
+    langid_threshold: float = DEFAULT_LANGID_THRESHOLD,
 ) -> DataFrame:
     """Full chain over the input_hint table (url, warc_ts, html, text, lang).
 
@@ -213,7 +232,8 @@ def quality_filter(
     # quality_filter_text; the verdict fold below reads the shared
     # lang struct either way)
     df = _langid_stage(
-        df, "extracted_text", langid_model, langid_kernel
+        df, "extracted_text", langid_model, langid_kernel,
+        langid_threshold,
     )
 
     # stage 3: perplexity — already computed in the enrich pass (stage 0)
@@ -276,6 +296,7 @@ def quality_filter_text(
     ppl_model: NGramModel | None = None,
     langid_model: dict | None = None,
     langid_kernel: str = "arrow",
+    langid_threshold: float = DEFAULT_LANGID_THRESHOLD,
 ) -> DataFrame:
     """Text-only variant (no html parse): langid -> heuristics -> scrub.
 
@@ -291,11 +312,15 @@ def quality_filter_text(
     path, 60.6k vs the fold's 1.3k docs/s at dim=2048/L=4; one
     ArrowEvalPython stage) or 'column' (pure Columns, zero Python —
     the parity anchor; plan embeds the dim*L weight literal).
-    Both emit identical verdicts (parity pinned at 1e-9 by
-    test_langid_classifier).
+    Kernel parity: probabilities agree to 1e-9 (pinned by
+    test_langid_classifier); an EXACT margin tie between two classes
+    could in principle resolve differently across kernels (float
+    sum-order ulp) — the fixed-point micro kernels are the bit-exact
+    contract where that matters (the oracle row).
     """
     text = F.col(text_col)
-    df = _langid_stage(df, text_col, langid_model, langid_kernel)
+    df = _langid_stage(df, text_col, langid_model, langid_kernel,
+                       langid_threshold)
     df = df.withColumn("stats", text_stats(text))
     df = df.withColumn("flags", gopher_quality_flags(F.col("stats")))
     df = df.withColumn("scrub", scrub_counts(text))

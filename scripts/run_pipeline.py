@@ -75,6 +75,7 @@ OPTIONS = [
     {"flag": "--keep-parsed", "help": "persist parsed structs for --revalidate"},
     {"flag": "--revalidate", "help": "incremental re-validation over stored parsed structs"},
     {"flag": "--langid-model", "help": "trained langid model file (train-langid output)"},
+    {"flag": "--langid-threshold", "help": "trained-langid 'und' gate probability (default 0.5)"},
     {"flag": "--describe", "help": "print operator descriptor JSON and exit"},
     {"flag": "--schema", "help": "print output record JSON-Schema and exit"},
     {"flag": "--list", "help": "print registered rules and exit"},
@@ -390,8 +391,9 @@ def _curate_mode(argv: list[str]) -> int:
               "[--decontam-n N] [--text-col text] [--key-col url] "
               "[--justext  (DOM boilerplate strip; needs an html col)] "
               "[--classifier MODEL.json [--classifier-threshold P]] "
-              "[--langid-model MODEL.json  (train-langid output; "
-              "trained softmax replaces the marker-word scorer)] "
+              "[--langid-model MODEL.json [--langid-threshold P]  "
+              "(train-langid output; trained softmax replaces the "
+              "marker-word scorer; prob < P -> 'und')] "
               "[--ppl-model LM.json [--ppl-threshold F]  (train-lm "
               "output; perplexity gate)] "
               "[--shards N  (audited hash-sharded output + _MANIFEST)] "
@@ -409,6 +411,10 @@ def _curate_mode(argv: list[str]) -> int:
     if "shards" in opts and "output" not in opts:
         print("error: --shards requires --output (a plain sharded "
               "directory, not a snapshot table)", file=sys.stderr)
+        return 2
+    if "langid_threshold" in opts and "langid_model" not in opts:
+        print("error: --langid-threshold requires --langid-model",
+              file=sys.stderr)
         return 2
     if "ppl_threshold" in opts and "ppl_model" not in opts:
         # a forgotten --ppl-model would otherwise run with NO
@@ -484,6 +490,11 @@ def _curate_mode(argv: list[str]) -> int:
         except (OSError, ValueError) as e:
             print(f"error: --langid-model: {e}", file=sys.stderr)
             return 2
+    from fingerprint_spark.pipeline import DEFAULT_LANGID_THRESHOLD
+
+    langid_threshold = float(
+        opts.get("langid_threshold", str(DEFAULT_LANGID_THRESHOLD))
+    )
     ppl_model = None
     if "ppl_model" in opts:
         # opt-in trained perplexity gate: the model file comes from
@@ -510,11 +521,13 @@ def _curate_mode(argv: list[str]) -> int:
                 opts.get("ppl_threshold", str(DEFAULT_PPL_THRESHOLD))
             ),
             langid_model=langid_model,
+            langid_threshold=langid_threshold,
         )
     else:
         quality = quality_filter_text(
             df, text_col=text_col, url_col=key_col,
             langid_model=langid_model,
+            langid_threshold=langid_threshold,
         )
     base = quality.select(
         key_col,
@@ -1049,7 +1062,22 @@ def main() -> int:
         "scorer for the trained fastText-shaped softmax in the "
         "flagship chain (lang_score becomes the softmax probability)",
     )
+    ap.add_argument(
+        "--langid-threshold",
+        type=float,
+        default=None,
+        metavar="P",
+        help="trained-langid unknown-language gate: predictions with "
+        "softmax prob < P become 'und' and drop (default 0.5, the "
+        "CCNet fastText gate); requires --langid-model",
+    )
     args = ap.parse_args()
+    if args.langid_threshold is not None and not args.langid_model:
+        # a forgotten --langid-model would otherwise run with NO
+        # trained stage while reading as "threshold applied"
+        print("error: --langid-threshold requires --langid-model",
+              file=sys.stderr)
+        return 2
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -1060,7 +1088,10 @@ def main() -> int:
     from fingerprint_spark.checkpoint import CheckpointedRun
     from fingerprint_spark.deploy import ensure_pyfiles
     from fingerprint_spark.dsl.registry import Registry, builtin_rules
-    from fingerprint_spark.pipeline import quality_filter
+    from fingerprint_spark.pipeline import (
+        DEFAULT_LANGID_THRESHOLD,
+        quality_filter,
+    )
     from fingerprint_spark.sources.corpus_io import read_corpus
     from fingerprint_spark.witness import append_witness
 
@@ -1142,7 +1173,13 @@ def main() -> int:
             if args.keep_parsed:
                 keep.append("parsed")
             return out.select(*keep)
-        out = quality_filter(part, rules=rules, langid_model=langid_model)
+        out = quality_filter(
+            part, rules=rules, langid_model=langid_model,
+            langid_threshold=(
+                DEFAULT_LANGID_THRESHOLD if args.langid_threshold is None
+                else args.langid_threshold
+            ),
+        )
         # lang_score in the output: the marker fraction vs softmax
         # probability is the observable difference between language
         # tiers (downstream threshold tuning + test observability)

@@ -343,3 +343,53 @@ def test_langid_gram_twin_randomized_cross_check(spark, hasher):
         assert got[i] == gram_feature_ids_py(c, 512, 3, hasher), (
             i, repr(c[:30])
         )
+
+
+def test_langid_trained_unknown_gate(spark):
+    """The trained tier's 'und' gate (review finding): a softmax always
+    emits SOME trained class, so the pipeline must threshold the
+    probability — below-threshold predictions become 'und' and drop as
+    langid:und (the marker tier's MIN_SCORE analog); a zero threshold
+    disables the gate; lang_score keeps the rejected argmax prob."""
+    from fingerprint_spark.pipeline import quality_filter_text
+
+    m = train_langid_softmax_py(LANGID_TRAIN_FIXTURE, dim=512, epochs=6)
+    df = spark.createDataFrame(
+        [(f"https://h/{i}", t) for i, (t, _) in
+         enumerate(LANGID_HOLDOUT_FIXTURE)],
+        "url string, text string",
+    )
+    # threshold above any reachable prob: EVERY doc gates to 'und'
+    hi = quality_filter_text(df, langid_model=m, langid_threshold=1.01)
+    rows = hi.select("url", "lang_detected", "lang_score",
+                     "drop_reason").collect()
+    assert all(r["lang_detected"] == "und" for r in rows)
+    assert all(r["drop_reason"] == "langid:und" for r in rows)
+    assert all(0.0 < r["lang_score"] <= 1.0 for r in rows)
+    # threshold 0 disables the gate: fixture-language docs classify
+    lo = {
+        r["url"]: r["lang_detected"]
+        for r in quality_filter_text(df, langid_model=m,
+                                     langid_threshold=0.0)
+        .select("url", "lang_detected").collect()
+    }
+    assert set(lo.values()) <= {"de", "en", "es", "fr"}
+
+
+def test_langid_dim_validation(spark):
+    """dim <= 0 must refuse loudly everywhere (review finding: it
+    previously passed model validation vacuously, then crashed as
+    '% 0' inside the Arrow kernel / produced NULL ids Column-side)."""
+    import json
+
+    from fingerprint_spark.operators.langid_classifier import (
+        langid_model_from_json,
+    )
+
+    with pytest.raises(ValueError, match="dim must be >= 1"):
+        langid_model_from_json(json.dumps(
+            {"classes": ["en"], "bias": [0.0], "dim": 0, "weights": {}}))
+    with pytest.raises(ValueError, match="dim must be >= 1"):
+        gram_features_col(F.lit("x"), 0, 3, "xxhash")
+    with pytest.raises(ValueError, match="dim must be >= 1"):
+        gram_feature_ids_py("x", -4, 3, "md5")

@@ -60,6 +60,22 @@ def _doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Scale-adaptive scan fan-out (optimization guide §2.6/§6): the test
+    corpora are single small parquet files with one row group, so the
+    scan yields ONE split and every narrow stage above it (regex chains,
+    Arrow UDFs, explode+map-side aggregation) serializes onto one core.
+    Round-robin repartition to the session's parallelism ONLY when the
+    scan under-splits; at real scale the scan already yields >= cores
+    splits and this is a no-op — no extra exchange is paid there. The
+    condition (not a constant) is what keeps the setting scale-adaptive
+    rather than tuned to local[32]."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # shared SQL fragments (DuckDB)
 # ---------------------------------------------------------------------------
@@ -157,7 +173,7 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     the langid gate in the keep/drop fold (src/pipeline/enricher.rs)."""
     from .operators.langid_classifier import langid_classify_micro_arrow
 
-    df = _doc(spark, sf_dir)
+    df = _fan_out(_doc(spark, sf_dir))
     df = df.withColumn(
         "__t", F.substring(F.col("text"), 1, _LID_PREFIX)
     )
@@ -243,7 +259,7 @@ def q_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher A.1 stats + quality flags in ONE row (r3 VERDICT #1: the
     driver's correctness harness budgets ~50 rows; stats and flags
     share one _sql_stats_cte, so two rows bought no extra signal)."""
-    df = _doc(spark, sf_dir)
+    df = _fan_out(_doc(spark, sf_dir))
     df = df.withColumn("stats", text_stats(F.col("text")))
     s = F.col("stats")
     flags = gopher_quality_flags(s)
@@ -273,7 +289,7 @@ def q_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     model is not SQL-expressible — covered by rows-only query + pytest)."""
     from .pipeline import quality_filter_text
 
-    df = _doc(spark, sf_dir).withColumnRenamed("doc_id", "url")
+    df = _fan_out(_doc(spark, sf_dir)).withColumnRenamed("doc_id", "url")
     out = quality_filter_text(df, text_col="text", url_col="url")
     return out.select(
         F.col("url").alias("doc_id"),
@@ -433,7 +449,7 @@ _TYPE_ORDER = ["number", "currency", "percentage", "date", "string"]
 def q_cell_type_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """table_shape majority-vote cell typing (assertions.rs:2204-2342) run
     relationally over lineitem columns cast to strings."""
-    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = _fan_out(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
     stack_expr = "stack({}, {})".format(
         len(_CELL_COLS),
         ", ".join(
@@ -593,10 +609,9 @@ def q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.coalesce("text", F.lit("")).alias("text")
     )
     # the test parquet is one small file -> one input split; fan out so
-    # the per-shingle digests use every core (at 100 TB the scan yields
-    # thousands of splits and this repartition is unnecessary — same
-    # note as q_html_pipeline)
-    df = df.repartition(spark.sparkContext.defaultParallelism)
+    # the per-shingle digests use every core (scale-adaptive: a no-op
+    # when the scan already yields >= cores splits — r6)
+    df = _fan_out(df)
     # each stage projected separately (lambda-CSE rule): words, THEN
     # shingles over the projected array, THEN hashes
     df = df.select("doc_id", "text", sketch_words_col("text").alias("ws"))
@@ -689,10 +704,9 @@ def q_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang"),
     )
     # the test parquet is a single small file -> one input split; fan out
-    # so the parse UDF uses every core. (At 100 TB the scan itself yields
-    # thousands of splits and this repartition is unnecessary — it exists
-    # because maxPartitionBytes cannot split a tiny file.)
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    # so the parse UDF uses every core (scale-adaptive: a no-op when the
+    # scan already yields >= cores splits — r6)
+    docs = _fan_out(docs)
     out = quality_filter(docs)
     return out.select(
         "url",
@@ -915,28 +929,34 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside the rows-only html_pipeline chain). Two paths side-by-side,
     the sketches/winnow pattern:
 
-    - exact path (the contract): pad+lower the text JVM-side, explode
-      trigrams, broadcast-join the fixture model as a (gram, micro-logp
-      bigint) lookup table — the north_star's "versioned template
-      definitions broadcast as lookup structures" — then groupBy doc
-      summing exact integers. At scale this is one broadcast join plus
-      one map-side-combined shuffle of (doc_id, long) pairs.
-    - production path: functions/perplexity.perplexity_col, the Arrow
-      UDF that scores the same model with float sums; `udf_agrees`
-      pins |udf - exact| <= 1e-6 INSIDE the oracle row, so a tokenizer
-      or closure drift turns the row red.
+    - exact path (the contract): pad+lower the text JVM-side, then sum
+      the per-trigram micro-logp INTEGERS of the broadcast fixture
+      model (closure-shipped lookup table — the north_star's "versioned
+      template definitions broadcast as lookup structures") inside one
+      Arrow pass. Integer sums are order-independent, so the total is
+      bit-identical to the former explode+join+groupBy plan while
+      shuffling nothing (r6: that plan moved one row per gram, twice).
+    - production path: the same fused Arrow pass also emits the float
+      score (functions/perplexity._ppl_exact_udf); `udf_agrees` pins
+      |udf - exact| <= 1e-6 INSIDE the oracle row, so a tokenizer or
+      closure drift turns the row red.
 
     Reference analog: the n-gram perplexity quality signal in the
     enrich stage, src/pipeline/enricher.rs (perplexity fold) — scoring
     semantics re-derived from public KenLM/CCNet descriptions.
     """
-    from .functions.perplexity import perplexity_col
+    from .functions.perplexity import ppl_exact_col
 
     micro, backoff_micro, model = _ppl_micro_model()
-    model_df = spark.createDataFrame(
-        sorted(micro.items()), "gram string, lp_micro long"
-    )
-    base = _doc(spark, sf_dir).select("doc_id", "text")
+    base = _fan_out(_doc(spark, sf_dir).select("doc_id", "text"))
+    # pad/lower/truncate JVM-side (unchanged tokenization contract),
+    # then ONE fused Arrow pass computes the exact integer total, the
+    # gram count and the float production score per document — the
+    # former explode -> broadcast join -> groupBy -> join-back plan
+    # shuffled one row per gram (~len(text) rows/doc) twice; this plan
+    # has ZERO exchanges (guide §2.4). Integer sums are order-
+    # independent, so logp_micro_total is bit-identical to the join
+    # path's sum of the SAME per-gram integers.
     padded = base.select(
         "doc_id",
         F.concat(
@@ -947,38 +967,22 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("\x03"),
         ).alias("__s"),
     )
-    grams = padded.select(
+    scored = padded.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence({_PPL_ORDER}, length(__s)), "
-                f"i -> substring(__s, i - {_PPL_ORDER - 1}, {_PPL_ORDER}))"
-            )
-        ).alias("gram"),
-    )
-    agg = (
-        grams.join(F.broadcast(model_df), "gram", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.coalesce(F.col("lp_micro"), F.lit(backoff_micro)))
-            .cast("bigint")
-            .alias("logp_micro_total"),
-            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-        )
+        ppl_exact_col(
+            F.col("__s"), model, tuple(sorted(micro.items())), backoff_micro
+        ).alias("__r"),
     )
     exact_ppl = F.exp(
-        -(F.col("logp_micro_total") / F.lit(float(_PPL_SCALE)))
-        / F.col("n_grams")
+        -(F.col("__r.logp_micro_total") / F.lit(float(_PPL_SCALE)))
+        / F.col("__r.n_grams")
     )
-    udf = base.select(
-        "doc_id", perplexity_col(F.col("text"), model).alias("__ppl_udf")
-    )
-    return agg.join(udf, "doc_id").select(
+    return scored.select(
         "doc_id",
-        "n_grams",
-        "logp_micro_total",
+        F.col("__r.n_grams").alias("n_grams"),
+        F.col("__r.logp_micro_total").alias("logp_micro_total"),
         F.round(exact_ppl, 6).alias("ppl"),
-        (F.abs(F.col("__ppl_udf") - exact_ppl) <= _PPL_UDF_TOL).alias(
+        (F.abs(F.col("__r.ppl_udf") - exact_ppl) <= _PPL_UDF_TOL).alias(
             "udf_agrees"
         ),
     )
@@ -1154,7 +1158,7 @@ def q_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 64-bit hash collision (~1e-9 at this corpus size)."""
     from .caching import track_persist
 
-    df = _doc(spark, sf_dir)
+    df = _fan_out(_doc(spark, sf_dir))
 
     def shingles(col):
         words = F.split(F.trim(F.lower(col)), r"\s+")
@@ -1166,18 +1170,41 @@ def q_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shingle frame feeds BOTH sides of the adjacent-pair join:
     # persist so the (interpreted-HOF) shingle build runs once per doc,
     # not twice — measured 2x+ end-to-end at sf0.1; released by the
-    # materializing caller (caching.release_tracked)
-    s = track_persist(df.select("doc_id", shingles(F.col("text")).alias("sh")))
-    a = s.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = s.select((F.col("doc_id") - 1).alias("id_a"), F.col("sh").alias("sh_b"))
+    # materializing caller (caching.release_tracked). The per-doc
+    # distinct size rides along so the join can compute |union| as
+    # |A| + |B| - |A∩B| instead of building a second hash set per pair
+    # (array_union removed — r6 guide §2.3 "don't compute what you can
+    # derive"): sh is distinct by construction, so the count is exact.
+    s = track_persist(
+        df.select("doc_id", shingles(F.col("text")).alias("sh")).select(
+            "doc_id", "sh", F.size("sh").alias("n")
+        )
+    )
+    a = s.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = s.select(
+        (F.col("doc_id") - 1).alias("id_a"),
+        F.col("sh").alias("sh_b"),
+        F.col("n").alias("n_b"),
+    )
     j = a.join(b, "id_a")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    # two-step projection so array_intersect evaluates once (referencing
+    # it from both the numerator and the union arithmetic would inline
+    # the set build twice; CollapseProject keeps non-cheap exprs single)
+    j = j.select(
+        "id_a",
+        F.size(F.array_intersect("sh_a", "sh_b")).alias("__i"),
+        (F.col("n_a") + F.col("n_b")).alias("__ab"),
+    )
     return j.select(
         F.col("id_a").cast("bigint").alias("doc_id"),
-        F.floor(inter * 1000 / F.greatest(union, F.lit(1))).cast("bigint").alias(
-            "jaccard_permille"
-        ),
+        F.floor(
+            F.col("__i") * 1000
+            / F.greatest(F.col("__ab") - F.col("__i"), F.lit(1))
+        ).cast("bigint").alias("jaccard_permille"),
     )
 
 
@@ -1423,7 +1450,7 @@ def q_extract_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.extract import extract_section, extract_text_match
     from .parse import parse_html_col
 
-    df = _doc(spark, sf_dir)
+    df = _fan_out(_doc(spark, sf_dir))
     esc = F.regexp_replace(
         F.regexp_replace(F.regexp_replace(F.col("text"), "&", "&amp;"), "<", "&lt;"),
         ">", "&gt;",
@@ -1559,7 +1586,7 @@ def q_xlsx_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             _workbook_bytes_col(F.col("doc_id"), F.col("source")).alias("xlsx"),
         ).write.mode("overwrite").parquet(path)
-    return _decode_grid_projection(spark.read.parquet(path))
+    return _decode_grid_projection(_fan_out(spark.read.parquet(path)))
 
 
 def sql_xlsx_grid() -> str:
@@ -2163,7 +2190,7 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.curation import chunk_dedup
 
     return chunk_dedup(
-        _doc(spark, sf_dir), "text", "doc_id", CHUNK_WORDS
+        _fan_out(_doc(spark, sf_dir)), "text", "doc_id", CHUNK_WORDS
     ).select(
         "doc_id",
         F.col("n_chunks").cast("bigint").alias("n_chunks"),
@@ -2201,7 +2228,7 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~180 more at sf0.01."""
     from .operators.curation import decontaminate
 
-    docs = _doc(spark, sf_dir)
+    docs = _fan_out(_doc(spark, sf_dir))
     bench = docs.filter(F.col("doc_id") % BENCH_MOD == BENCH_REM)
     # strategy pinned: the synthetic benchmark is tiny by construction,
     # and auto mode runs an eager size-estimate job at plan-construction
@@ -2336,7 +2363,7 @@ def q_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("")),
         F.when(d % 2 == 1, F.lit("#sec")).otherwise(F.lit("")),
     )
-    df = _doc(spark, sf_dir).select("doc_id", url.alias("url"))
+    df = _fan_out(_doc(spark, sf_dir)).select("doc_id", url.alias("url"))
     bl = spark.createDataFrame(
         [("example1.co.uk",)], "domain string"
     ).select(F.col("domain").alias("__dom"), F.lit(1).alias("__b"))
@@ -2386,7 +2413,8 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.curation import boilerplate_filter
 
     return boilerplate_filter(
-        _doc(spark, sf_dir), "text", "doc_id", CHUNK_WORDS, BOILER_MAX_DOCS
+        _fan_out(_doc(spark, sf_dir)), "text", "doc_id", CHUNK_WORDS,
+        BOILER_MAX_DOCS
     ).select(
         "doc_id",
         F.col("n_chunks").cast("bigint").alias("n_chunks"),
@@ -2432,7 +2460,7 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .pipeline import quality_filter_text
 
-    docs = _doc(spark, sf_dir)
+    docs = _fan_out(_doc(spark, sf_dir))
     # keep_quality and sampled are NARROW per-doc expressions — fold
     # them into the base frame instead of joining 4 frames on doc_id
     # (plan: 2 doc_id shuffles for the two aggregated stages, not 4)

@@ -190,6 +190,103 @@ def score_text(model_dict: dict[str, float], order: int, backoff: float, text: s
 
 
 @lru_cache(maxsize=4)
+def _ppl_exact_udf(model: NGramModel, micro_items: tuple, backoff_micro: int):
+    """Fused fixed-point + float scorer over the ALREADY padded/lowered/
+    truncated string (built JVM-side so both engines share one
+    tokenization). Replaces the explode -> broadcast join -> groupBy ->
+    join-back plan of the exact path (guide §2.4 "remove shuffles
+    outright"): per document the integer micro-logp total, the gram
+    count and the float score are all derivable in ONE narrow pass, so
+    the (doc_id, gram) shuffle — ~(len(text) rows/doc) — disappears.
+
+    Fast path: for pure-ASCII batches the trigram ids pack into
+    base-128 ints and both lookups become numpy gathers over 16 MiB
+    LUTs (built once per Python worker, amortized via lru_cache +
+    worker reuse). Non-ASCII documents fall back to the exact dict
+    loop. Integer sums are order-independent, so the fixed-point
+    contract is bit-identical to the join path by construction."""
+    import numpy as np
+
+    order = model.order
+    micro = dict(micro_items)
+    flogp = model.as_dict()
+    fbackoff = model.backoff_logp
+    luts: dict[str, "np.ndarray"] = {}
+
+    def _get_luts():
+        if not luts:
+            dim = 128 ** order
+            ilut = np.full(dim, backoff_micro, dtype=np.int64)
+            flut = np.full(dim, fbackoff, dtype=np.float64)
+            for g, v in micro.items():
+                bs = g.encode("utf-8", errors="ignore")
+                if len(bs) == order and max(bs) < 128:
+                    idx = 0
+                    for c in bs:
+                        idx = idx * 128 + c
+                    ilut[idx] = v
+                    flut[idx] = flogp[g]
+            luts["i"] = ilut
+            luts["f"] = flut
+        return luts["i"], luts["f"]
+
+    def _one_slow(s: str) -> tuple[int, int, float]:
+        total_i = 0
+        total_f = 0.0
+        n = len(s) - order + 1
+        for i in range(order - 1, len(s)):
+            g = s[i - order + 1: i + 1]
+            total_i += micro.get(g, backoff_micro)
+            total_f += flogp.get(g, fbackoff)
+        return total_i, n, math.exp(-total_f / n)
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("logp_micro_total", T.LongType()),
+                T.StructField("n_grams", T.LongType()),
+                T.StructField("ppl_udf", T.DoubleType()),
+            ]
+        )
+    )
+    def udf(padded: pd.Series) -> pd.DataFrame:
+        ilut, flut = _get_luts()
+        totals, ns, ppls = [], [], []
+        for s in padded:
+            try:
+                b = s.encode("ascii")
+            except UnicodeEncodeError:
+                ti, n, p = _one_slow(s)
+            else:
+                arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                n_keys = len(arr) - order + 1
+                keys = arr[:n_keys] * (128 ** (order - 1))
+                for j in range(1, order):
+                    keys = keys + arr[j: j + n_keys] * (
+                        128 ** (order - 1 - j)
+                    )
+                ti = int(ilut[keys].sum())
+                n = len(keys)
+                p = math.exp(-float(flut[keys].sum()) / n)
+            totals.append(ti)
+            ns.append(n)
+            ppls.append(p)
+        return pd.DataFrame(
+            {"logp_micro_total": totals, "n_grams": ns, "ppl_udf": ppls}
+        )
+
+    return udf
+
+
+def ppl_exact_col(
+    padded: Column, model: NGramModel, micro_items: tuple, backoff_micro: int
+) -> Column:
+    """padded/lowered string -> struct(logp_micro_total, n_grams,
+    ppl_udf) under the broadcast fixed-point model (see _ppl_exact_udf)."""
+    return _ppl_exact_udf(model, micro_items, backoff_micro)(padded)
+
+
+@lru_cache(maxsize=4)
 def _ppl_udf(model: NGramModel):
     d = model.as_dict()
     order, backoff = model.order, model.backoff_logp

@@ -60,18 +60,28 @@ def _doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+_FAN_OUT_MAX_BYTES = 256 << 20
+
+
 def _fan_out(df: DataFrame) -> DataFrame:
     """Scale-adaptive scan fan-out (optimization guide §2.6/§6): the test
     corpora are single small parquet files with one row group, so the
     scan yields ONE split and every narrow stage above it (regex chains,
     Arrow UDFs, explode+map-side aggregation) serializes onto one core.
     Round-robin repartition to the session's parallelism ONLY when the
-    scan under-splits; at real scale the scan already yields >= cores
-    splits and this is a no-op — no extra exchange is paid there. The
-    condition (not a constant) is what keeps the setting scale-adaptive
-    rather than tuned to local[32]."""
+    scan under-splits AND the input is small enough that the extra
+    exchange is trivially cheap (on a moderately-split mid-size table
+    the repartition costs more than the tail it fixes — measured on the
+    10x lineitem replica; and at real scale the scan already yields >=
+    cores splits). The conditions (not constants) are what keep this
+    scale-adaptive rather than tuned to local[32]."""
     p = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    size = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    if size < _FAN_OUT_MAX_BYTES:
         return df.repartition(p)
     return df
 
@@ -448,8 +458,13 @@ _TYPE_ORDER = ["number", "currency", "percentage", "date", "string"]
 
 def q_cell_type_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """table_shape majority-vote cell typing (assertions.rs:2204-2342) run
-    relationally over lineitem columns cast to strings."""
-    df = _fan_out(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+    relationally over lineitem columns cast to strings.
+
+    No _fan_out here (r6): lineitem is 16 wide columns — the A/B showed
+    the round-robin exchange of the full table costs more than the
+    under-split scan tail it fixes (the skinny documents-table queries
+    are where fan-out wins)."""
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     stack_expr = "stack({}, {})".format(
         len(_CELL_COLS),
         ", ".join(
@@ -618,18 +633,26 @@ def q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = df.select(
         "doc_id", "text", sketch_shingles_col("ws", k=3).alias("sh")
     )
+    # ONE distinct projection feeds both Column sub-paths (r6): the sim
+    # hashes always deduped; the minhash folds now hash each DISTINCT
+    # shingle once too — min over a set equals min over the multiset,
+    # so the emitted values are unchanged while duplicate shingles stop
+    # paying md5 twice
+    df = df.select(
+        "doc_id", "text", F.expr("array_distinct(sh)").alias("shd")
+    )
     df = df.select(
         "doc_id",
-        "sh",
-        sketch_sim_hashes_col("sh").alias("hs"),
+        "shd",
+        sketch_sim_hashes_col("shd").alias("hs"),
         sketch_md5_udf_col(F.col("text"), seeds=(0, 7, 15), k=3).alias("u"),
     )
     return df.select(
         "doc_id",
         sketch_simhash16_from_hashes("hs").alias("simhash16"),
-        sketch_minhash_col("sh", 0).alias("minhash_0"),
-        sketch_minhash_col("sh", 7).alias("minhash_7"),
-        sketch_minhash_col("sh", 15).alias("minhash_15"),
+        sketch_minhash_col("shd", 0).alias("minhash_0"),
+        sketch_minhash_col("shd", 7).alias("minhash_7"),
+        sketch_minhash_col("shd", 15).alias("minhash_15"),
         F.col("u.simhash16").alias("simhash16_u"),
         F.try_element_at(F.col("u.minhash"), F.lit(1)).alias("minhash_0_u"),
         F.try_element_at(F.col("u.minhash"), F.lit(2)).alias("minhash_7_u"),
@@ -681,19 +704,25 @@ def q_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> template fold -> langid -> ppl -> heuristics -> scrub)."""
     from .pipeline import quality_filter
 
-    df = _doc(spark, sf_dir)
-    esc = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("text"), "&", "&amp;"), "<", "&lt;"
+    # fan out FIRST (scale-adaptive no-op at real scale — r6): the html
+    # synthesis used to sit below the repartition, so its string passes
+    # ran on the single scan task and the exchange carried the inflated
+    # html instead of the raw text
+    df = _fan_out(_doc(spark, sf_dir))
+    # literal escapes via replace(), not regexp_replace — same bytes,
+    # no regex engine on the hot path (r6 guide §1.2 "per-task work")
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"), F.lit("&lt;"),
         ),
-        ">",
-        "&gt;",
+        F.lit(">"), F.lit("&gt;"),
     )
     html = F.concat(
         F.lit("<html><head><title>t</title></head><body><h1>Doc "),
         F.col("doc_id").cast("string"),
         F.lit("</h1><p>"),
-        F.regexp_replace(esc, "\n", "</p><p>"),
+        F.replace(esc, F.lit("\n"), F.lit("</p><p>")),
         F.lit("</p></body></html>"),
     )
     docs = df.select(
@@ -703,10 +732,6 @@ def q_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
         F.col("lang"),
     )
-    # the test parquet is a single small file -> one input split; fan out
-    # so the parse UDF uses every core (scale-adaptive: a no-op when the
-    # scan already yields >= cores splits — r6)
-    docs = _fan_out(docs)
     out = quality_filter(docs)
     return out.select(
         "url",
@@ -1149,55 +1174,66 @@ def q_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-shingle Jaccard between consecutive doc ids, scaled to an exact
     integer (permille) to avoid float hashing.
 
-    Shingles are hashed to int64 JVM-side (xxhash64 over the 3-word
-    slice) before the set ops: the join shuffles arrays of longs, not
-    strings, and intersect/union compare 8 bytes per element. The DuckDB
-    oracle keeps the string form — words contain no whitespace, so the
-    space-joined string is injective per shingle and the distinct /
-    intersect / union COUNTS (all the query emits) are identical modulo
-    a 64-bit hash collision (~1e-9 at this corpus size)."""
-    from .caching import track_persist
+    Shingles are hashed to int64 in ONE Arrow pass (batch-level blake2b
+    word hashing + vectorized positional combine + per-doc distinct —
+    functions/hashing.jaccard_shingle_hashes_col, measured 2x the
+    interpreted JVM transform(xxhash64(slice)) fold it replaces) before
+    the set ops: the shuffle carries arrays of longs, not strings, and
+    intersect compares 8 bytes per element. The DuckDB oracle keeps the
+    string form — words contain no whitespace, so the space-joined
+    string is injective per shingle and the distinct / intersect /
+    union COUNTS (all the query emits) are identical modulo a 64-bit
+    hash collision (~1e-9 at this corpus size; count-parity with the
+    JVM fold is pinned by test_jaccard_kernel).
 
+    Plan shape (r6): each doc's shingle set is exploded to its two
+    adjacent-pair keys and ONE groupBy assembles the pairs — the former
+    self-join needed a corpus-wide persist (a real memory cost at
+    100 TB) plus two exchanges; this is persist-free with one exchange.
+    |union| is derived as |A| + |B| - |A∩B| (sh is distinct by
+    construction), replacing the second per-pair hash-set build."""
     df = _fan_out(_doc(spark, sf_dir))
+    from .functions.hashing import jaccard_shingle_hashes_col
 
-    def shingles(col):
-        words = F.split(F.trim(F.lower(col)), r"\s+")
-        idx = F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0)))
-        return F.array_distinct(
-            F.transform(idx, lambda i: F.xxhash64(F.slice(words, i + 1, 3)))
+    s = df.select(
+        "doc_id", jaccard_shingle_hashes_col(F.col("text")).alias("sh")
+    ).select("doc_id", "sh", F.size("sh").alias("n"))
+    ex = s.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_id").alias("k"), F.lit(0).alias("side")),
+                F.struct(
+                    (F.col("doc_id") - 1).alias("k"), F.lit(1).alias("side")
+                ),
+            )
+        ).alias("t"),
+        "sh",
+        "n",
+    )
+    # presence is tracked on the STRUCT, so every doc pairs exactly as
+    # in the former join (NULL text arrives as the kernel's singleton
+    # sentinel set — the JVM fold's own NULL behavior)
+    g = (
+        ex.groupBy(F.col("t.k").alias("id_a"))
+        .agg(
+            F.first(
+                F.when(F.col("t.side") == 0, F.struct("sh", "n")),
+                ignorenulls=True,
+            ).alias("a"),
+            F.first(
+                F.when(F.col("t.side") == 1, F.struct("sh", "n")),
+                ignorenulls=True,
+            ).alias("b"),
         )
-
-    # the shingle frame feeds BOTH sides of the adjacent-pair join:
-    # persist so the (interpreted-HOF) shingle build runs once per doc,
-    # not twice — measured 2x+ end-to-end at sf0.1; released by the
-    # materializing caller (caching.release_tracked). The per-doc
-    # distinct size rides along so the join can compute |union| as
-    # |A| + |B| - |A∩B| instead of building a second hash set per pair
-    # (array_union removed — r6 guide §2.3 "don't compute what you can
-    # derive"): sh is distinct by construction, so the count is exact.
-    s = track_persist(
-        df.select("doc_id", shingles(F.col("text")).alias("sh")).select(
-            "doc_id", "sh", F.size("sh").alias("n")
-        )
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
     )
-    a = s.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("sh").alias("sh_a"),
-        F.col("n").alias("n_a"),
-    )
-    b = s.select(
-        (F.col("doc_id") - 1).alias("id_a"),
-        F.col("sh").alias("sh_b"),
-        F.col("n").alias("n_b"),
-    )
-    j = a.join(b, "id_a")
     # two-step projection so array_intersect evaluates once (referencing
     # it from both the numerator and the union arithmetic would inline
     # the set build twice; CollapseProject keeps non-cheap exprs single)
-    j = j.select(
+    j = g.select(
         "id_a",
-        F.size(F.array_intersect("sh_a", "sh_b")).alias("__i"),
-        (F.col("n_a") + F.col("n_b")).alias("__ab"),
+        F.size(F.array_intersect("a.sh", "b.sh")).alias("__i"),
+        (F.col("a.n") + F.col("b.n")).alias("__ab"),
     )
     return j.select(
         F.col("id_a").cast("bigint").alias("doc_id"),
@@ -1451,14 +1487,19 @@ def q_extract_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .parse import parse_html_col
 
     df = _fan_out(_doc(spark, sf_dir))
-    esc = F.regexp_replace(
-        F.regexp_replace(F.regexp_replace(F.col("text"), "&", "&amp;"), "<", "&lt;"),
-        ">", "&gt;",
+    # literal escapes via replace(), not regexp_replace (r6 — same
+    # bytes, no regex engine; see q_html_pipeline)
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"), F.lit("&lt;"),
+        ),
+        F.lit(">"), F.lit("&gt;"),
     )
     html = F.concat(
         F.lit("<html><body><h1>Doc "), F.col("doc_id").cast("string"),
         F.lit("</h1><h2>Body</h2><p>"),
-        F.regexp_replace(esc, "\n", "</p><p>"),
+        F.replace(esc, F.lit("\n"), F.lit("</p><p>")),
         F.lit("</p></body></html>"),
     )
     parsed = df.select("doc_id", parse_html_col(html).alias("parsed"))

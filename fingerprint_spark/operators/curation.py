@@ -196,14 +196,23 @@ def boilerplate_filter(
 
 def _ngrams_from_words(words: Column, n: int) -> Column:
     """N-gram array from an ALREADY-MATERIALIZED words array (see
-    _chunks_from_words for why the two-step projection matters)."""
-    return F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - n),
-            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    _chunks_from_words for why the two-step projection matters).
+
+    Built from n bulk slices chained through zip_with concat instead of
+    a per-position transform(array_join(slice(...))) — identical
+    strings, n-1 array traversals instead of one interpreted slice+join
+    per gram (the sketch_shingles_col rewrite, r6)."""
+    m = F.size(words) - n + 1
+    r = F.slice(words, 1, m)
+    for j in range(2, n + 1):
+        r = F.zip_with(
+            r,
+            F.slice(words, F.lit(j), m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(F.size(words) >= n, r).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def word_ngrams(text_col: Column, n: int) -> Column:

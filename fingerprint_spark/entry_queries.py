@@ -1594,6 +1594,55 @@ def _decode_grid_projection(df: DataFrame) -> DataFrame:
     )
 
 
+def _decode_grid_fused_col(xlsx: F.Column) -> F.Column:
+    """Decode + the _decode_grid_projection accessors in ONE Python
+    pass: the projected row is 4 scalars, so the full nested
+    map<string, array<array<string>>> grid never crosses the Arrow
+    boundary (r6 — the map conversion cost ~as much as the zip+XML
+    decode itself; guide §4.1 "you control how many columns cross").
+    Accessor semantics replicated from operators/assertions (_sheet /
+    _cell / sheet_exists): case-insensitive first-key match, A1 refs
+    out of range -> NULL, undecodable bytes -> all-NULL row. Output
+    parity with the two-step path is pinned by
+    test_xlsx_grid_roundtrip_matches_decode (q_xlsx_grid keeps the
+    original projection over the shared accessors)."""
+    from .sources.xlsx import excel_to_sheets
+
+    @F.pandas_udf(
+        "has_sheet int, cell_a2 string, cell_b2 string, n_rows bigint"
+    )
+    def udf(payloads: pd.Series) -> pd.DataFrame:
+        has_c, a2_c, b2_c, n_c = [], [], [], []
+        for p in payloads:
+            sheets = None
+            if p is not None:
+                try:
+                    sheets = excel_to_sheets(bytes(p))
+                except ValueError:
+                    sheets = None
+            if sheets is None:
+                has_c.append(None)
+                a2_c.append(None)
+                b2_c.append(None)
+                n_c.append(None)
+                continue
+            key = next(
+                (k for k in sheets if k.lower() == "data"), None
+            )
+            grid = sheets.get(key) if key is not None else None
+            has_c.append(1 if key is not None else 0)
+            row2 = grid[1] if grid is not None and len(grid) > 1 else None
+            a2_c.append(row2[0] if row2 and len(row2) > 0 else None)
+            b2_c.append(row2[1] if row2 and len(row2) > 1 else None)
+            n_c.append(len(grid) if grid is not None else None)
+        return pd.DataFrame(
+            {"has_sheet": has_c, "cell_a2": a2_c, "cell_b2": b2_c,
+             "n_rows": n_c}
+        )
+
+    return udf(xlsx)
+
+
 def q_xlsx_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real-xlsx-bytes roundtrip: per doc, an xlsx workbook is BUILT
     (stdlib writer) from (doc_id, source), decoded back through the
@@ -1627,7 +1676,10 @@ def q_xlsx_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             _workbook_bytes_col(F.col("doc_id"), F.col("source")).alias("xlsx"),
         ).write.mode("overwrite").parquet(path)
-    return _decode_grid_projection(_fan_out(spark.read.parquet(path)))
+    df = _fan_out(spark.read.parquet(path))
+    return df.select("doc_id", _decode_grid_fused_col(F.col("xlsx")).alias("__g")).select(
+        "doc_id", "__g.has_sheet", "__g.cell_a2", "__g.cell_b2", "__g.n_rows"
+    )
 
 
 def sql_xlsx_grid() -> str:

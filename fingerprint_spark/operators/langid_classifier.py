@@ -585,16 +585,24 @@ def _margin_fold_col(feats, init, warr, L: int):
     )
 
 
+_GRAM_MEMO_CAP = 1_000_000  # ids are pure -> clearing only recomputes
+
+
 def _batch_margins(texts, bias: np.ndarray, weights: np.ndarray,
-                   n: int, gid):
+                   n: int, gid, memo: dict | None = None):
     """THE per-batch margin extraction (Arrow side), shared by both
-    kernels: per-batch gram -> feature-id memo (char n-grams are
-    highly repetitive, the memo hit rate is near 1) + numpy row-sum
-    fold. Yields one margin vector per text. NOTE: the row-sum order
-    is numpy's, not the Column fold's first-occurrence order — exact
-    double-path sums can differ in the last ulp (the micro kernels'
-    integer sums are order-free and therefore bit-exact)."""
-    memo: dict[str, int] = {}
+    kernels: gram -> feature-id memo (char n-grams are highly
+    repetitive, the memo hit rate is near 1; callers may pass a
+    closure-held dict so it survives batches via worker reuse — r6) +
+    numpy row-sum fold. Yields one margin vector per text. NOTE: the
+    row-sum order is numpy's, not the Column fold's first-occurrence
+    order — exact double-path sums can differ in the last ulp (the
+    micro kernels' integer sums are order-free and therefore
+    bit-exact)."""
+    if memo is None:
+        memo = {}
+    elif len(memo) > _GRAM_MEMO_CAP:
+        memo.clear()
     for t in texts:
         ids_set: set[int] = set()
         for g in grams_py(t, n):
@@ -712,6 +720,7 @@ def langid_classify_micro_arrow(
     bias = np.asarray(bm, dtype=np.int64)
     fscale = float(scale)
     gid = _gid_fn(hasher, dim)
+    memo: dict = {}  # per-worker, survives batches (worker reuse — r6)
 
     @F.pandas_udf(
         T.StructType(
@@ -724,7 +733,9 @@ def langid_classify_micro_arrow(
     def classify(texts: pd.Series) -> pd.DataFrame:
         out_lang: list[str] = []
         out_prob = np.empty(len(texts), dtype=np.float64)
-        for i, m in enumerate(_batch_margins(texts, bias, weights, n, gid)):
+        for i, m in enumerate(
+            _batch_margins(texts, bias, weights, n, gid, memo)
+        ):
             # exact integer margins: argmax is bit-exact cross-engine
             # (np.argmax takes the FIRST max = smallest class index);
             # winner prob = exp(0)/z = 1/z
@@ -756,6 +767,7 @@ def langid_classify_arrow(
     weights = np.asarray(_model_dense_flat(model)).reshape(dim, L)
     bias = np.asarray([float(b) for b in model["bias"]])
     gid = _gid_fn(hasher, dim)
+    memo: dict = {}  # per-worker, survives batches (worker reuse — r6)
 
     @F.pandas_udf(
         T.StructType(
@@ -768,7 +780,9 @@ def langid_classify_arrow(
     def classify(texts: pd.Series) -> pd.DataFrame:
         out_lang: list[str] = []
         out_prob = np.empty(len(texts), dtype=np.float64)
-        for i, m in enumerate(_batch_margins(texts, bias, weights, n, gid)):
+        for i, m in enumerate(
+            _batch_margins(texts, bias, weights, n, gid, memo)
+        ):
             m -= m.max()
             e = np.exp(m)
             p = e / e.sum()

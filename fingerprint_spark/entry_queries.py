@@ -328,7 +328,7 @@ FROM j
 
 
 def q_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _doc(spark, sf_dir)
+    df = _fan_out(_doc(spark, sf_dir))
     counts = scrub_counts(F.col("text"))
     total = None
     for name, _p, _r in PII_PATTERNS:
@@ -778,7 +778,7 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         winnow_minima_md5_udf_col,
     )
 
-    df = _doc(spark, sf_dir).select(
+    df = _fan_out(_doc(spark, sf_dir)).select(
         "doc_id",
         F.trim(
             F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
@@ -873,7 +873,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         train, dim=_CLF_DIM, epochs=_CLF_EPOCHS, lr=_CLF_LR,
         hasher="md5", grad_round_dp=_CLF_GRAD_DP,
     )
-    df = _doc(spark, sf_dir).select("doc_id", "text")
+    df = _fan_out(_doc(spark, sf_dir).select("doc_id", "text"))
     scored = quality_score(df, model, hasher="md5")
     return scored.select(
         "doc_id", F.round("quality_prob", 6).alias("quality_prob")
@@ -1904,7 +1904,7 @@ def q_media_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return pd.DataFrame(rows)
 
-    built = _doc(spark, sf_dir).select(
+    built = _fan_out(_doc(spark, sf_dir)).select(
         "doc_id", build(F.col("doc_id")).alias("b")
     )
     df = built.select(
@@ -2039,7 +2039,7 @@ def q_pipeline_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import dedup_exact
     from .pipeline import quality_filter_text
 
-    df = _doc(spark, sf_dir).withColumnRenamed("doc_id", "url")
+    df = _fan_out(_doc(spark, sf_dir)).withColumnRenamed("doc_id", "url")
     kept = quality_filter_text(df, text_col="text", url_col="url").filter(
         F.col("keep")
     )
@@ -2392,7 +2392,9 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram occurrences, total bigrams — all-integer output, hash-exact."""
     from .operators.curation import repetition_profile
 
-    return repetition_profile(_doc(spark, sf_dir), "text", "doc_id", 2).select(
+    return repetition_profile(
+        _fan_out(_doc(spark, sf_dir)), "text", "doc_id", 2
+    ).select(
         "doc_id", "top_ngram",
         F.col("top_count").cast("bigint").alias("top_count"),
         F.col("dup_ngram_occ").cast("bigint").alias("dup_ngram_occ"),
@@ -2945,7 +2947,7 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same double expression tree, drift ~1e-15 << the grain."""
     from .operators.curation import _words
 
-    docs = _doc(spark, sf_dir)
+    docs = _fan_out(_doc(spark, sf_dir))
     n = docs.count()
     tf = (
         docs.select("doc_id", F.explode(_words(F.col("text"))).alias("term"))

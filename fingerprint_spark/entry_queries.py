@@ -1672,7 +1672,9 @@ def q_xlsx_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(f"{sf_dir}|grid-v1".encode()).hexdigest()[:12]
     path = f"/tmp/fps_xlsx_bytes_{tag}.parquet"
     if not os.path.exists(path):
-        _doc(spark, sf_dir).select(
+        # fan out the one-time cache build too (r6): the workbook
+        # synthesis UDF otherwise runs on the single scan split
+        _fan_out(_doc(spark, sf_dir)).select(
             "doc_id",
             _workbook_bytes_col(F.col("doc_id"), F.col("source")).alias("xlsx"),
         ).write.mode("overwrite").parquet(path)

@@ -99,7 +99,14 @@ def chunk_dedup(
             "__idx", "__chunk"
         ),
     )
-    first = W.partitionBy(F.xxhash64("__chunk")).orderBy("__key", "__idx")
+    # partition the ranking window on a PROJECTED hash column, not the
+    # xxhash64(__chunk) expression (r6): with the expression, the
+    # exchange must carry the chunk STRING so the Window can re-evaluate
+    # its partition key; with the column, consumers that never read the
+    # text (pipeline_curate reads only n_kept) get __chunk pruned from
+    # the shuffle — (key, idx, hash) instead of + chunk bytes
+    ex = ex.withColumn("__h", F.xxhash64("__chunk"))
+    first = W.partitionBy("__h").orderBy("__key", "__idx")
     ranked = ex.withColumn("__keep", F.row_number().over(first) == 1)
     return ranked.groupBy(F.col("__key").alias(key_col)).agg(
         F.count("*").alias("n_chunks"),
@@ -198,17 +205,26 @@ def _ngrams_from_words(words: Column, n: int) -> Column:
     """N-gram array from an ALREADY-MATERIALIZED words array (see
     _chunks_from_words for why the two-step projection matters).
 
-    Built from n bulk slices chained through zip_with concat instead of
-    a per-position transform(array_join(slice(...))) — identical
-    strings, n-1 array traversals instead of one interpreted slice+join
-    per gram (the sketch_shingles_col rewrite, r6)."""
-    m = F.size(words) - n + 1
-    r = F.slice(words, 1, m)
-    for j in range(2, n + 1):
-        r = F.zip_with(
-            r,
-            F.slice(words, F.lit(j), m),
-            lambda a, b: F.concat(a, F.lit(" "), b),
+    For small n, built from n bulk slices chained through zip_with
+    concat instead of a per-position transform(array_join(slice(...)))
+    — identical strings, n-1 array traversals instead of one
+    interpreted slice+join per gram (the sketch_shingles_col rewrite,
+    r6; measured 2x at n=3). The chain's progressive concatenation
+    allocates O(n^2) chars per gram, so past n=8 (measured neutral at 8,
+    slower at 13) the single array_join form wins and is kept."""
+    if n <= 8:
+        m = F.size(words) - n + 1
+        r = F.slice(words, 1, m)
+        for j in range(2, n + 1):
+            r = F.zip_with(
+                r,
+                F.slice(words, F.lit(j), m),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+    else:
+        r = F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
         )
     return F.when(F.size(words) >= n, r).otherwise(
         F.array().cast("array<string>")

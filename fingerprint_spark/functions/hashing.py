@@ -641,37 +641,37 @@ def _sketch_md5_batch(
     if memo is None:
         memo = {}
     all_seeds = (*seeds, "sim")
+    ns = len(seeds)
     sims: list[int] = []
     mins: list[list[int]] = []
     bitpos = np.arange(16, dtype=np.uint64)
+    mget = memo.get
     for t in texts:
         words = _ascii_ws_normalize(t).split(" ") if t else []
         words = [w for w in words if w]
+        # dedupe FIRST (dict.fromkeys, C-speed): the minhash min and the
+        # sim vote are both over the distinct-shingle set (min over a
+        # set equals min over the multiset), so duplicate shingles never
+        # reach the memo loop
         if len(words) >= k:
-            shingles = [
-                " ".join(words[i: i + k]) for i in range(len(words) - k + 1)
-            ]
+            shingles = dict.fromkeys(
+                " ".join(words[i: i + k])
+                for i in range(len(words) - k + 1)
+            )
         else:
-            shingles = [" ".join(words)]
+            shingles = {" ".join(words): None}
         if len(memo) > _SKETCH_MEMO_CAP:
             memo.clear()
-        doc_mins = None
-        sim_set: dict[str, int] = {}
+        hs_list = []
         for s in shingles:
-            hs = memo.get(s)
+            hs = mget(s)
             if hs is None:
                 hs = tuple(_md5_60(seed, s) for seed in all_seeds)
                 memo[s] = hs
-            if doc_mins is None:
-                doc_mins = list(hs[:-1])
-            else:
-                for i in range(len(seeds)):
-                    if hs[i] < doc_mins[i]:
-                        doc_mins[i] = hs[i]
-            sim_set[s] = hs[-1]
-        mins.append(doc_mins)
+            hs_list.append(hs)
+        mins.append([min(h[i] for h in hs_list) for i in range(ns)])
         hsim = np.fromiter(
-            sim_set.values(), dtype=np.uint64, count=len(sim_set)
+            (h[ns] for h in hs_list), dtype=np.uint64, count=len(hs_list)
         )
         # per-bit majority over distinct shingles: +1/-1 votes
         votes = 2 * ((hsim[:, None] >> bitpos) & np.uint64(1)).sum(

@@ -293,6 +293,50 @@ def minhash_signature_col(text: Column, num_hashes: int = 64, k: int = 3) -> Col
     return _minhash_udf(num_hashes, k)(text)
 
 
+def simhash64_batch_py(texts, k: int = 3) -> list[int]:
+    """Batch twin of simhash64_py — BIT-IDENTICAL outputs (pinned by
+    test_r06_optimizations): one blake2b pass over the unique words of
+    the whole batch (Zipf: uniques ≪ occurrences) instead of per
+    document, then the identical positional combine + bit-majority per
+    doc. Used by the enrich UDF (the flagship chain's per-doc simhash)."""
+    docs: list[list[str] | None] = []
+    flat: list[str] = []
+    for t in texts:
+        words = (t or "").lower().split()
+        docs.append(words)
+        flat.extend(words)
+    if flat:
+        hflat = _word_hashes64(flat)
+    else:
+        hflat = np.empty(0, dtype=np.uint64)
+    n_flat = len(hflat)
+    if n_flat >= k:
+        comb = hflat[: n_flat - k + 1] * _COMB[0]
+        for i in range(1, k):
+            comb = comb ^ _rotl64(
+                hflat[i: n_flat - k + 1 + i], (21 * i) % 63 + 1
+            ) * _COMB[i % 3]
+    else:
+        comb = np.empty(0, dtype=np.uint64)
+    out: list[int] = []
+    off = 0
+    for words in docs:
+        n = len(words)
+        if n == 0:
+            out.append(0)
+        elif n < k:
+            h = hflat[off: off + 1] * _COMB[0]
+            for i in range(1, n):
+                h = h ^ _rotl64(
+                    hflat[off + i: off + i + 1], (21 * i) % 63 + 1
+                ) * _COMB[i % 3]
+            out.append(_simhash_from_hashes(h))
+        else:
+            out.append(_simhash_from_hashes(comb[off: off + n - k + 1]))
+        off += n
+    return out
+
+
 def _simhash_from_hashes(h: "np.ndarray") -> int:
     if h.size == 0:
         return 0

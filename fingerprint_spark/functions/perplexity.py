@@ -287,6 +287,56 @@ def ppl_exact_col(
 
 
 @lru_cache(maxsize=4)
+def score_text_fast_fn(model: NGramModel):
+    """Per-text scorer BIT-IDENTICAL to score_text(model...) but ~6x
+    faster on ASCII text (r6): trigram ids pack into base-128 ints and
+    the logp lookup becomes a numpy gather over a float64 LUT, summed
+    with cumsum — numpy's cumsum accumulates SEQUENTIALLY, so the float
+    adds happen in the same order with the same IEEE ops as the Python
+    loop (verified bit-exact over the full sf0.1 corpus + fixtures in
+    test_r06_optimizations). Non-ASCII text falls back to score_text
+    itself. Used by the enrich UDF (the flagship chain's per-doc ppl)."""
+    import numpy as np
+
+    logp = model.as_dict()
+    order, backoff = model.order, model.backoff_logp
+    luts: dict[str, "np.ndarray"] = {}
+
+    def _lut():
+        if "f" not in luts:
+            flut = np.full(128 ** order, backoff, dtype=np.float64)
+            for g, v in logp.items():
+                bs = g.encode("utf-8", errors="ignore")
+                if len(bs) == order and max(bs) < 128:
+                    idx = 0
+                    for c in bs:
+                        idx = idx * 128 + c
+                    flut[idx] = v
+            luts["f"] = flut
+        return luts["f"]
+
+    def score(text: str) -> float:
+        s = ("\x02" * (order - 1)) + (text or "").lower()[:4000] + "\x03"
+        try:
+            b = s.encode("ascii")
+        except UnicodeEncodeError:
+            return score_text(logp, order, backoff, text)
+        import numpy as np
+
+        arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+        n = len(arr) - order + 1
+        if n <= 0:
+            return float("inf")
+        keys = arr[:n] * (128 ** (order - 1))
+        for j in range(1, order):
+            keys = keys + arr[j: j + n] * (128 ** (order - 1 - j))
+        total = _lut()[keys].cumsum()[-1]
+        return math.exp(-float(total) / n)
+
+    return score
+
+
+@lru_cache(maxsize=4)
 def _ppl_udf(model: NGramModel):
     d = model.as_dict()
     order, backoff = model.order, model.backoff_logp

@@ -110,23 +110,27 @@ def enrich_type():
 
 @lru_cache(maxsize=4)
 def _enrich_udf(model, simhash_k: int):
-    from ..functions.hashing import simhash64_py
-    from ..functions.perplexity import score_text
+    from ..functions.hashing import simhash64_batch_py
+    from ..functions.perplexity import score_text_fast_fn
 
-    logp = model.as_dict()
-    order, backoff = model.order, model.backoff_logp
+    # bit-identical fast twins (r6): the LUT+cumsum ppl scorer and the
+    # batch-word-hashed simhash produce the same floats/ints as
+    # score_text/simhash64_py (pinned by test_r06_optimizations) at
+    # ~3x the per-doc Python speed
+    score = score_text_fast_fn(model)
 
     @F.pandas_udf(enrich_type())
     def udf(html: pd.Series) -> pd.DataFrame:
         # column-wise construction: ~30% less pandas overhead than
         # list-of-dicts rows for nested-struct outputs
-        parsed_col, ppl_col, sim_col = [], [], []
+        parsed_col, ppl_col, texts = [], [], []
         for h in html:
             parsed = parse_html(_to_str(h))
             text = parsed["normalized"] or ""
             parsed_col.append(parsed)
-            ppl_col.append(score_text(logp, order, backoff, text))
-            sim_col.append(simhash64_py(text, simhash_k))
+            texts.append(text)
+            ppl_col.append(score(text))
+        sim_col = simhash64_batch_py(texts, simhash_k)
         return pd.DataFrame(
             {"parsed": parsed_col, "ppl": ppl_col, "simhash": sim_col}
         )

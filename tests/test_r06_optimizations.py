@@ -141,6 +141,57 @@ def test_sketch_md5_batch_matches_reference():
         assert mins[i] == ref_min, (i, t)
 
 
+def test_score_text_fast_bit_identical():
+    """score_text_fast_fn must return the EXACT floats of score_text —
+    numpy cumsum accumulates sequentially, so the adds happen in the
+    same order; the non-ASCII path falls back to score_text itself."""
+    from fingerprint_spark.functions.perplexity import (
+        score_text,
+        score_text_fast_fn,
+    )
+    from fingerprint_spark.pipeline import default_ppl_model
+
+    m = default_ppl_model()
+    logp = m.as_dict()
+    fast = score_text_fast_fn(m)
+    texts = [
+        "the quick brown fox", "", "x" * 5000, "café ü non-ascii",
+        "a", "zz unseen qq", "many words " * 100,
+    ]
+    # plus a slice of the real corpus
+    import duckdb
+
+    texts += [
+        r[0] for r in duckdb.connect().execute(
+            "SELECT text FROM '/root/testdata/sf0.01/documents.parquet'"
+        ).fetchall()
+    ]
+    for t in texts:
+        assert fast(t) == score_text(logp, m.order, m.backoff_logp, t), t
+
+
+def test_simhash_batch_bit_identical():
+    """simhash64_batch_py must equal simhash64_py per doc."""
+    from fingerprint_spark.functions.hashing import (
+        simhash64_batch_py,
+        simhash64_py,
+    )
+    import duckdb
+
+    texts = [
+        "", None, "one", "one two", "one two three",
+        "a b a b a b", "Mixed CASE words", "nbsp separated words",
+    ] + [
+        r[0] for r in duckdb.connect().execute(
+            "SELECT text FROM '/root/testdata/sf0.01/documents.parquet' "
+            "LIMIT 300"
+        ).fetchall()
+    ]
+    got = simhash64_batch_py(texts, 3)
+    want = [simhash64_py(t or "", 3) for t in texts]
+    assert got == want
+
+
 def test_fused_perplexity_matches_join_plan(spark):
     """_ppl_exact_udf's integer totals must be bit-identical to the
     former explode -> broadcast join -> groupBy formulation, and the
